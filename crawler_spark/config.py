@@ -1,0 +1,81 @@
+"""Crawl policy — the engine's equivalent of the reference's Controller.
+
+The reference's extension surface is the ``Controller`` interface
+(ctrl.go:17-47: Prepare/Handle/Accept/Sched/Resched/Retry + Etc) plus
+per-pattern config via mux (mux/mux.go:173-238). Our policies must be
+*columnar* (evaluated for a whole DataFrame at once), so each hook is a
+Spark SQL expression string over well-known column names, paired with a
+Python lambda with identical semantics for the serial oracle.
+
+Defaults mirror the reference's defaults:
+  * score 0, due immediately (NopController ctrl.go:66-68)
+  * visit once then done (NopController ctrl.go:69-71, mux/mux.go:290-293)
+  * retry delay 10s, max 4 retries (ctrl.go:72-74)
+  * revisit floor MinDelay 10s (option.go:24, clamp schedule.go:276-279)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+
+def _clamp_score(s: int) -> int:
+    return 0 if s < 0 else (999 if s > 999 else s)
+
+
+@dataclass(frozen=True)
+class CrawlPolicy:
+    # --- Sched: priority of a newly discovered URL -----------------------
+    # SQL expression over column `depth` → int score. Higher = sooner at
+    # equal due-time (queue/queue.go:182-193). Oracle uses score_fn.
+    score_expr: str = "0"
+    score_fn: Callable[[int], int] = lambda depth: 0
+
+    # --- ticket time semantics --------------------------------------------
+    # "avail": a ticket's earliest-crawl time = its discovery time — the
+    #   engine's deterministic refinement of the reference's At=0 default
+    #   (identical order under uniform scores; batchable exactly).
+    # "zero":  faithful preemptive At=0 (reference example policy); only
+    #   the serial selection mode is exact for this.
+    ticket_at: str = "avail"
+
+    # --- politeness -------------------------------------------------------
+    default_interval_ms: int = 0  # per-host crawl interval when host_policy has no row
+    max_hosts: Optional[int] = None  # backpressure analog (ratelimitq MaxHosts); None = unbounded
+
+    # --- Resched: revisit control ----------------------------------------
+    max_visits: int = 1  # visits before done
+    min_delay_ms: int = 10_000  # revisit floor (option.go:24)
+
+    # --- Retry: error control (ctrl.go:72-74) -----------------------------
+    retry_delay_ms: int = 10_000
+    max_retry: int = 4
+
+    # --- Accept: link admission ------------------------------------------
+    max_depth: Optional[int] = None  # extract/extract.go:38-41 MaxDepth gate
+    same_host_only: bool = False  # SameOrigin-ish filter (extract/extract.go:62-70)
+    follow_redirects: bool = True  # inject NewURL as a link (handle.go:63-76)
+    obey_robots: bool = True
+
+    # --- scale knobs -------------------------------------------------------
+    per_host_batch_cap: int = 4096  # max pops finalized per host per iteration
+    bloom_prefilter: bool = False  # bloom shards in front of the exact anti-join
+    bloom_shards: int = 8
+    bloom_bits_per_shard: int = 1 << 22
+    heavy_host_salt: int = 0  # >0: salt fetch-stage partitioning for skew
+
+    @staticmethod
+    def prio_of(score: int) -> int:
+        """Disk-order priority encoding: 999 - clamp(score,0,999), ascending
+        = higher score first (diskheap.go:34-44)."""
+        return 999 - _clamp_score(score)
+
+
+# The example static-crawler policy (example/static-crawler/controller.go:137-141):
+# preemptive priority — shallow pages jump the queue (ticket At stays zero).
+PRIORITY_POLICY = CrawlPolicy(
+    score_expr="1000 - 100 * depth",
+    score_fn=lambda depth: 1000 - 100 * depth,
+    ticket_at="zero",
+)

@@ -1,0 +1,151 @@
+"""Host-aware politeness selection — the rate-limit queue as a batch operator.
+
+Reimplements the semantics of the reference's two-level rate-limit queue
+(queue/ratelimitq/queue.go:12-46,154-259): a primary heap of hosts ordered
+by ``host.Next = max(host.Last + interval(host), secondary.Top().Next)``
+and per-host secondary heaps in the frontier total order (see ordering.py).
+Serially, ``Pop`` emits one item from the minimum host, sets
+``host.Last = now`` and re-keys the host (queue.go:228-247); a drained host
+parks its ``Last`` in ``timewait`` and restores it on re-appearance
+(queue.go:154-166,230-232). We keep ``last_ms`` per host forever, which is
+the same semantics.
+
+Item fields: ``next_ms`` is the ticket's earliest-crawl time *as an
+ordering key* (queue/queue.go:182-193); ``avail_ms`` is the virtual time
+the item was pushed (an item cannot pop before it exists — implicit in the
+serial queue, explicit here); ``due_ms = max(next_ms, avail_ms)``.
+
+Batched formulation (one *selection* = one step of the crawl driver loop):
+
+    ready(h)  = last_ms(h) + interval_ms(h)   (0 if never popped)
+    emit(h)   = max(ready(h), min over items of due_ms)
+    e_min     = min over hosts of emit(h)           — the virtual clock
+    p_min     = best head priority among hosts with emit == e_min
+
+A *finalized* pop is one whose outcome cannot be changed by items pushed
+by any other finalized pop (all pushes carry avail ≥ e_min, and e_min
+never decreases across steps). Three modes:
+
+* ``exact`` — requires the engine's default ticket ``next_ms = avail_ms =
+  discovery time``. On every host with emit == e_min, finalize the maximal
+  per-host run (multi-pop; k-th pop at e_min + k·interval, the serial
+  re-keying of queue.go:239-243) of items with ``due < e_min OR (due ==
+  e_min AND prio == p_min)``. A fresh item is discovered at some finalized
+  emit ≥ e_min so it sorts strictly after every admitted item, and items
+  discovered at different virtual times never tie — so dense ``seq``
+  assignment stays in serial insertion order. Exactly reproduces the
+  serial oracle for any policy whose link score does not exceed its
+  parent's score (true of the reference's defaults and example policy).
+* ``fast`` — admits ``due == e_min`` items of any priority and caps
+  multi-pop emits below e_next (the next head emit). Exact when all
+  scores are equal; looser batching for throughput runs.
+* ``serial`` — finalize only the single globally-first candidate per step
+  (host ties broken by head (prio, seq)). Exact for *any* policy,
+  including preemptive ``At = 0`` tickets (the reference example's
+  priority policy), at one pop per step — for order-golden tests.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+INF = 1 << 62
+
+
+@dataclass
+class Selection:
+    selected: Optional[DataFrame]  # frontier rows + emit_ms, rn
+    e_min: Optional[int]  # virtual time of this batch (None = frontier empty)
+    n_hosts: int = 0
+    _heads: Optional[DataFrame] = None  # persisted intermediate; release() after materializing
+
+    def release(self) -> None:
+        if self._heads is not None:
+            self._heads.unpersist()
+
+
+def select_batch(
+    frontier: DataFrame,
+    host_state: DataFrame,
+    *,
+    default_interval_ms: int = 0,
+    mode: str = "exact",
+    per_host_cap: int = 4096,
+) -> Selection:
+    """One politeness-selection step.
+
+    frontier:   url, host_key, next_ms, avail_ms, score, prio, seq, depth…
+    host_state: host_key, last_ms, interval_ms (absent host = never popped)
+    Returns selected rows with ``emit_ms`` (their virtual pop timestamps).
+    """
+    if frontier.isEmpty():
+        return Selection(None, None)
+
+    hs = host_state.select(
+        "host_key",
+        F.col("last_ms").alias("_last_ms"),
+        F.col("interval_ms").alias("_interval_ms"),
+    )
+    due = F.greatest("next_ms", "avail_ms")
+
+    # Per-host timing head via partial aggregation (no global sort): the
+    # min due_ms gives the host's earliest possible pop; emit = max(ready, ·).
+    heads = (
+        frontier.groupBy("host_key")
+        .agg(F.min(due).alias("min_due"))
+        .join(hs, "host_key", "left")
+        .withColumn("_iv", F.coalesce(F.col("_interval_ms"), F.lit(default_interval_ms)).cast("long"))
+        .withColumn("ready_ms", F.coalesce(F.col("_last_ms") + F.col("_iv"), F.lit(0).cast("long")))
+        .withColumn("emit_ms", F.greatest("ready_ms", "min_due"))
+        .select("host_key", "ready_ms", "emit_ms", "_iv")
+    )
+    heads = heads.persist()
+    agg = heads.agg(F.min("emit_ms").alias("e_min"), F.count("*").alias("n")).first()
+    e_min, n_hosts = agg["e_min"], agg["n"]
+
+    qual = heads.where(F.col("emit_ms") == e_min).select("host_key", "emit_ms", "_iv")
+    # The join prunes the frontier to this step's hosts before any sort.
+    cand = frontier.join(qual, "host_key", "inner").where(due <= e_min)
+    w = Window.partitionBy("host_key").orderBy(F.col("next_ms").asc(), F.col("prio").asc(), F.col("seq").asc())
+
+    if mode == "serial":
+        sel = (
+            cand.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .orderBy(F.col("prio").asc(), F.col("seq").asc())
+            .limit(1)
+            .withColumn("emit_ms", F.lit(int(e_min)).cast("long"))
+            .drop("_iv")
+        )
+        return Selection(selected=sel, e_min=int(e_min), n_hosts=int(n_hosts), _heads=heads)
+
+    # p_min: lower bound on the priority of every pop that can happen at
+    # virtual time e_min (any candidate item), so that a same-millisecond
+    # child (prio >= its parent's >= p_min) can never preempt an admitted
+    # due==e_min item of priority p_min (ties lose on fresh, larger seq).
+    p_min = cand.agg(F.min("prio")).first()[0]
+
+    if mode == "exact":
+        cond = (due < e_min) | ((due == e_min) & (F.col("prio") == p_min))
+    elif mode == "fast":
+        cond = due <= e_min
+    else:
+        raise ValueError(f"unknown selection mode {mode!r}")
+
+    sel = cand.where(cond).withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= per_host_cap)
+    # k-th pop of a host happens one interval after the previous one
+    # (ratelimitq/queue.go:239-243 re-keys the host with Last=now per pop).
+    sel = sel.withColumn(
+        "pop_ms", F.lit(int(e_min)).cast("long") + (F.col("rn") - 1).cast("long") * F.col("_iv")
+    )
+    if mode == "fast":
+        e_next_row = heads.where(F.col("emit_ms") > e_min).agg(F.min("emit_ms")).first()
+        e_next = int(e_next_row[0]) if e_next_row[0] is not None else INF
+        sel = sel.where((F.col("pop_ms") == e_min) | (F.col("pop_ms") < e_next))
+
+    selected = sel.withColumn("emit_ms", F.col("pop_ms")).drop("pop_ms", "_iv")
+    return Selection(selected=selected, e_min=int(e_min), n_hosts=int(n_hosts), _heads=heads)

@@ -1,0 +1,495 @@
+"""The crawl engine: an iterative DataFrame superstep loop.
+
+One *step* of the driver loop is the Spark equivalent of the reference's
+scheduler ring (crawler.go:44-61, schedule.go:60-216) — see SURVEY.md §3:
+
+    select   politeness selection over the frontier       (operators/selection)
+    fetch    join the web/payload table (test semantics of Client.Do,
+             client.go:83-153; production: vectorized HTTP per host batch)
+    extract  resolve + canonicalize out-links             (functions/urlnorm)
+    accept   max-depth / same-host / robots gates          (extract/extract.go,
+             ctrl.go:28-32)
+    dedupe   first-writer-wins within the batch + anti-join against the
+             seen set (handle.go:83-115: Accept → Exist → PutNX)
+    ticket   score/next for fresh links + resched/retry of the fetched
+             URLs (schedule.go:235-313)
+    commit   new frontier / seen / host_state, metrics, emitted log
+
+All state lives in DataFrames; every per-row computation is a column
+expression or an Arrow-vectorized UDF; the driver holds only scalars
+(virtual clock, seq counter, step number).
+
+Scale design (the 10^10-URL story — test scale just shrinks the numbers):
+  * frontier/seen are hash-partitioned by host_key / url; the selection
+    operator aggregates per host before any sort, so the per-step working
+    set is bounded by (hosts at e_min × per_host_batch_cap).
+  * the seen anti-join is the only frontier-sized shuffle per step; an
+    optional sharded bloom prefilter (operators/bloom) drops almost all
+    true-negatives before it.
+  * host_policy is broadcast; AQE handles skewed hosts in the fetch join,
+    and `heavy_host_salt` adds explicit salting for the fetch stage.
+  * state materialization per step uses localCheckpoint (lineage cut);
+    every `snapshot_every` steps the state is durably committed through
+    SnapshotStore (Iceberg-snapshot semantics) for exact resume.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, BooleanType, IntegerType, LongType, StringType, StructField, StructType,
+)
+
+from crawler_spark.config import CrawlPolicy
+from crawler_spark.functions.urlnorm import canonicalize_udf, resolve_links_udf
+from crawler_spark.operators.ordering import prio_col, with_emit_order
+from crawler_spark.operators.selection import select_batch
+from crawler_spark.state.snapshot import SnapshotStore
+
+FRONTIER_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("host_key", StringType()),
+    StructField("next_ms", LongType()),
+    StructField("avail_ms", LongType()),
+    StructField("score", IntegerType()),
+    StructField("prio", IntegerType()),
+    StructField("seq", LongType()),
+    StructField("depth", IntegerType()),
+    StructField("num_retry", IntegerType()),
+])
+
+SEEN_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("host_key", StringType()),
+    StructField("depth", IntegerType()),
+    StructField("done", BooleanType()),
+    StructField("last_ms", LongType()),
+    StructField("status", IntegerType()),
+    StructField("num_visit", IntegerType()),
+    StructField("num_retry", IntegerType()),
+    StructField("seq", LongType()),
+])
+
+HOST_STATE_SCHEMA = StructType([
+    StructField("host_key", StringType()),
+    StructField("last_ms", LongType()),
+    StructField("interval_ms", LongType()),
+])
+
+HOST_POLICY_SCHEMA = StructType([
+    StructField("host_key", StringType()),
+    StructField("interval_ms", LongType()),
+    StructField("max_visits", IntegerType()),
+    StructField("robots_disallow", ArrayType(StringType())),
+])
+
+
+@dataclass
+class CrawlResult:
+    emitted: DataFrame  # crawl order log with emit_ord
+    seen: DataFrame
+    steps: int
+    pops: int
+    metrics: list = field(default_factory=list)
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        web: DataFrame,
+        host_policy: Optional[DataFrame] = None,
+        policy: CrawlPolicy = CrawlPolicy(),
+        workdir: str = "/tmp/crawler_spark_work",
+        mode: str = "exact",
+        snapshot_every: int = 0,
+        max_steps: int = 100_000,
+        max_pops: Optional[int] = None,
+    ):
+        self.spark = spark
+        self.web = web
+        self.policy = policy
+        self.mode = "serial" if policy.ticket_at == "zero" else mode
+        self.snapshot_every = snapshot_every
+        self.max_steps = max_steps
+        self.max_pops = max_pops
+        self.workdir = workdir
+        self.store = SnapshotStore(workdir)
+        if host_policy is None:
+            host_policy = spark.createDataFrame([], HOST_POLICY_SCHEMA)
+        self.host_policy = host_policy.persist()
+        self.metrics: list[dict] = []
+
+    # ------------------------------------------------------------------ #
+    def _init_state(self, seeds: list[str]):
+        """Seed injection: normalize → first-writer dedupe → depth-0
+        tickets (crawler.go:120-140). Invalid seeds are dropped and
+        counted (the reference aborts; a batch engine records instead)."""
+        spark = self.spark
+        raw = spark.createDataFrame([(s, i) for i, s in enumerate(seeds)], ["raw", "ord"])
+        c = raw.select("ord", canonicalize_udf("raw").alias("c")).select("ord", "c.*")
+        valid = c.where("valid")
+        w_dup = Window.partitionBy("url").orderBy("ord")
+        w_seq = Window.orderBy("ord")
+        seeded = (
+            valid.withColumn("rn", F.row_number().over(w_dup))
+            .where("rn = 1")
+            .withColumn("seq", (F.row_number().over(w_seq) - 1).cast("long"))
+            .withColumn("depth", F.lit(0))
+            .withColumn("score", F.expr(self.policy.score_expr).cast("int"))
+        )
+        frontier = seeded.select(
+            "url",
+            "host_key",
+            F.lit(0).cast("long").alias("next_ms"),
+            F.lit(0).cast("long").alias("avail_ms"),
+            "score",
+            prio_col(F.col("score")).alias("prio"),
+            "seq",
+            "depth",
+            F.lit(0).alias("num_retry"),
+        )
+        seen = seeded.select(
+            "url",
+            "host_key",
+            "depth",
+            F.lit(False).alias("done"),
+            F.lit(None).cast("long").alias("last_ms"),
+            F.lit(None).cast("int").alias("status"),
+            F.lit(0).alias("num_visit"),
+            F.lit(0).alias("num_retry"),
+            "seq",
+        )
+        host_state = self.host_policy.select(
+            "host_key", F.lit(None).cast("long").alias("last_ms"), "interval_ms"
+        )
+        n_invalid = c.where(~F.col("valid")).count()
+        frontier = frontier.localCheckpoint(eager=True)
+        seq_base = frontier.count()
+        return frontier, seen.localCheckpoint(eager=True), host_state.localCheckpoint(eager=True), seq_base, n_invalid
+
+    # ------------------------------------------------------------------ #
+    def _web_cols(self):
+        web = self.web
+        src = web.select(
+            "url",
+            F.col("status").alias("w_status"),
+            F.col("out_links").alias("w_links"),
+            "redirect_to",
+        )
+        tgt = web.select(
+            F.col("url").alias("redirect_to"),
+            F.col("status").alias("t_status"),
+            F.col("out_links").alias("t_links"),
+        )
+        return src, tgt
+
+    def _fetch(self, selected: DataFrame, seen: DataFrame) -> DataFrame:
+        """Test-semantics fetch: join the web fixture (deterministic stand-in
+        for Client.Do, client.go:83-153), one redirect hop resolved
+        (fetch.go:73-81), status classified per client.go:120-136."""
+        p = self.policy
+        src, tgt = self._web_cols()
+        seenj = seen.select(
+            "url",
+            F.col("last_ms").alias("old_last_ms"),
+            F.col("num_visit").alias("old_num_visit"),
+            F.col("num_retry").alias("old_num_retry"),
+            F.col("seq").alias("seen_seq"),
+        )
+        f = (
+            selected.join(seenj, "url", "left")
+            .join(src, "url", "left")
+            .join(tgt, "redirect_to", "left")
+        )
+        eff_status = F.when(
+            F.col("redirect_to").isNotNull(), F.coalesce("t_status", F.lit(0))
+        ).otherwise(F.coalesce("w_status", F.lit(0)))
+        base_url = F.coalesce("redirect_to", "url")
+        inject = F.col("redirect_to").isNotNull() & F.lit(p.follow_redirects)
+        eff_links = F.when(
+            F.col("redirect_to").isNotNull(), F.coalesce("t_links", F.array().cast("array<string>"))
+        ).otherwise(F.coalesce("w_links", F.array().cast("array<string>")))
+        links_arr = F.when(
+            inject, F.concat(F.array(F.col("redirect_to")), eff_links)
+        ).otherwise(eff_links)
+        f = f.withColumn("status", eff_status.cast("int")).withColumn(
+            "outcome",
+            F.when((F.col("status") >= 200) & (F.col("status") < 300), F.lit("ok"))
+            .when(
+                (F.col("status") >= 500)
+                | ((F.col("status") >= 400) & (F.col("status") != 404))
+                | (F.col("status") == 0),
+                F.lit("retry"),
+            )
+            .otherwise(F.lit("drop")),
+        )
+        return f.select(
+            "url", "host_key", "depth", "score", "prio", "seq", "emit_ms",
+            "old_last_ms", "old_num_visit", "old_num_retry", "seen_seq",
+            "status", "outcome",
+            base_url.alias("base_url"), links_arr.alias("links_arr"),
+        )
+
+    def _extract_links(self, fetched: DataFrame, seen: DataFrame) -> tuple[DataFrame, dict]:
+        """links of OK responses: resolve → canonicalize → accept gates →
+        first-writer dedupe → anti-join seen (handle.go:83-115)."""
+        p = self.policy
+        ok = fetched.where("outcome = 'ok'")
+        lk = ok.select(
+            F.col("emit_ms").alias("p_emit"),
+            F.col("prio").alias("p_prio"),
+            F.col("seq").alias("p_seq"),
+            F.col("depth").alias("p_depth"),
+            F.col("host_key").alias("p_host"),
+            F.posexplode(resolve_links_udf("base_url", "links_arr")).alias("ordinal", "c"),
+        )
+        lk = lk.select(
+            "p_emit", "p_prio", "p_seq", "p_depth", "p_host", "ordinal",
+            F.col("c.url").alias("url"),
+            F.col("c.host_key").alias("host_key"),
+            F.col("c.path").alias("path"),
+            F.col("c.valid").alias("valid"),
+        ).persist()
+        stats = {"links_raw": lk.count(), "links_invalid": lk.where(~F.col("valid")).count()}
+        good = lk.where("valid").withColumn("depth", F.col("p_depth") + 1)
+        if p.max_depth is not None:
+            good = good.where(F.col("depth") <= p.max_depth)
+        if p.same_host_only:
+            good = good.where(F.col("host_key") == F.col("p_host"))
+        if p.obey_robots:
+            hp = self.host_policy.select("host_key", "robots_disallow")
+            good = good.join(F.broadcast(hp), "host_key", "left").where(
+                ~F.coalesce(
+                    F.exists("robots_disallow", lambda pre: F.col("path").startswith(pre)),
+                    F.lit(False),
+                )
+            ).drop("robots_disallow")
+        # first-writer-wins inside the batch: the earliest-emitting parent
+        # claims the URL and assigns its depth (handle.go:108-111).
+        w = Window.partitionBy("url").orderBy("p_emit", "p_prio", "p_seq", "ordinal")
+        good = good.withColumn("rn1", F.row_number().over(w)).where("rn1 = 1").drop("rn1", "path", "p_host")
+        # exact URL-seen anti-join (north rule: exact set; bloom is only a
+        # prefilter and is applied by the caller when enabled)
+        fresh = good.join(seen.select("url"), "url", "left_anti")
+        fresh = (
+            fresh.withColumn("score", F.expr(p.score_expr).cast("int"))
+            .withColumn("prio", prio_col(F.col("score")))
+            .withColumn(
+                "next_ms",
+                (F.col("p_emit") if p.ticket_at == "avail" else F.lit(0)).cast("long"),
+            )
+            .withColumn("avail_ms", F.col("p_emit").cast("long"))
+            .withColumn("num_retry", F.lit(0))
+            .withColumn("kind", F.lit(0))
+        )
+        lk.unpersist()
+        return fresh, stats
+
+    def _self_items(self, fetched: DataFrame) -> DataFrame:
+        """resched of visited URLs + retry of errored ones
+        (schedule.go:246-313). kind=1 orders them after the same parent's
+        links (schedule.go:124-140: links are scheduled first)."""
+        p = self.policy
+        mv = F.coalesce(F.col("hp_max_visits"), F.lit(p.max_visits))
+        f = fetched.join(
+            F.broadcast(self.host_policy.select("host_key", F.col("max_visits").alias("hp_max_visits"))),
+            "host_key",
+            "left",
+        )
+        ok = f.where("outcome = 'ok'")
+        resched_at = F.greatest(
+            (F.col("emit_ms") if p.ticket_at == "avail" else F.lit(0)).cast("long"),
+            (F.coalesce("old_last_ms", F.lit(0)) + F.lit(p.min_delay_ms)).cast("long"),
+        )
+        resched = (
+            ok.where(F.col("old_num_visit") + 1 < mv)
+            .select(
+                "url", "host_key",
+                resched_at.alias("next_ms"),
+                F.col("emit_ms").cast("long").alias("avail_ms"),
+                F.lit(0).alias("score"),
+                prio_col(F.lit(0)).alias("prio"),
+                "depth",
+                F.lit(0).alias("num_retry"),
+                F.col("emit_ms").alias("p_emit"), F.col("prio").alias("p_prio"), F.col("seq").alias("p_seq"),
+            )
+        )
+        retry = (
+            fetched.where("outcome = 'retry'")
+            .where(F.col("old_num_retry") + 1 < F.lit(p.max_retry))
+            .select(
+                "url", "host_key",
+                (F.col("emit_ms") + F.lit(p.retry_delay_ms)).cast("long").alias("next_ms"),
+                F.col("emit_ms").cast("long").alias("avail_ms"),
+                F.lit(0).alias("score"),
+                prio_col(F.lit(0)).alias("prio"),
+                "depth",
+                (F.col("old_num_retry") + 1).cast("int").alias("num_retry"),
+                F.col("emit_ms").alias("p_emit"), F.col("prio").alias("p_prio"), F.col("seq").alias("p_seq"),
+            )
+        )
+        return resched.unionByName(retry).withColumn("kind", F.lit(1)).withColumn("ordinal", F.lit(-1))
+
+    def _assign_seq(self, items: DataFrame, seq_base: int) -> DataFrame:
+        """Dense insertion-order seq: sort by (parent emit, parent prio,
+        parent seq, kind, ordinal) — the serial scheduler's push order.
+        NOTE: global row_number is a single-task sort of *this step's new
+        items only* (not the frontier); at extreme scale swap for a
+        partition-offset cumulative-count assignment."""
+        w = Window.orderBy("p_emit", "p_prio", "p_seq", "kind", "ordinal")
+        return items.withColumn("seq", (F.row_number().over(w) - 1 + seq_base).cast("long"))
+
+    # ------------------------------------------------------------------ #
+    def run(self, seeds: list[str]) -> CrawlResult:
+        frontier, seen, host_state, seq_base, n_invalid_seeds = self._init_state(seeds)
+        return self._loop(frontier, seen, host_state, seq_base, step0=0, pops0=0)
+
+    def resume(self) -> CrawlResult:
+        m = self.store.latest()
+        if m is None:
+            raise RuntimeError("no snapshot to resume from")
+        frames = self.store.load(self.spark, m["step"])
+        return self._loop(
+            frames["frontier"].localCheckpoint(eager=True),
+            frames["seen"].localCheckpoint(eager=True),
+            frames["host_state"].localCheckpoint(eager=True),
+            m["seq_base"],
+            step0=m["step"],
+            pops0=m["pops"],
+        )
+
+    def _emit_dir(self, step: int) -> str:
+        return os.path.join(self.workdir, "emitted", f"step={step}")
+
+    def _loop(self, frontier, seen, host_state, seq_base, step0: int, pops0: int) -> CrawlResult:
+        p = self.policy
+        step, pops = step0, pops0
+        while step < self.max_steps:
+            if self.max_pops is not None and pops >= self.max_pops:
+                break
+            sel = select_batch(
+                frontier,
+                host_state,
+                default_interval_ms=p.default_interval_ms,
+                mode=self.mode,
+                per_host_cap=p.per_host_batch_cap,
+            )
+            if sel.selected is None:
+                break  # frontier drained — IsFinished (store.go:145-149)
+            selected = sel.selected.localCheckpoint(eager=True)
+            sel.release()
+            n_sel = selected.count()
+            if n_sel == 0:
+                raise RuntimeError(f"liveness violation: no pop at e_min={sel.e_min}")
+
+            fetched = self._fetch(selected, seen).localCheckpoint(eager=True)
+            step += 1
+            pops += n_sel
+
+            # emitted log (idempotent per-step dir → exact resume)
+            fetched.select(
+                F.lit(step).alias("step"), "emit_ms", "prio", "seq", "url",
+                "host_key", "depth", "score", "status", "outcome",
+            ).write.mode("overwrite").parquet(self._emit_dir(step))
+
+            fresh, link_stats = self._extract_links(fetched, seen)
+            items = self._assign_seq(
+                fresh.select(
+                    "url", "host_key", "next_ms", "avail_ms", "score", "prio",
+                    "depth", "num_retry", "p_emit", "p_prio", "p_seq", "kind", "ordinal",
+                ).unionByName(self._self_items(fetched)),
+                seq_base,
+            ).localCheckpoint(eager=True)
+            n_items = items.count()
+            seq_base += n_items
+
+            # ---- state updates ----------------------------------------
+            new_frontier_rows = items.select(
+                "url", "host_key", "next_ms", "avail_ms", "score", "prio", "seq", "depth", "num_retry"
+            )
+            frontier = (
+                frontier.join(selected.select("seq"), "seq", "left_anti")
+                .unionByName(new_frontier_rows)
+                .localCheckpoint(eager=True)
+            )
+
+            mv = F.coalesce(F.col("hp_max_visits"), F.lit(p.max_visits))
+            upd = fetched.join(
+                F.broadcast(self.host_policy.select("host_key", F.col("max_visits").alias("hp_max_visits"))),
+                "host_key",
+                "left",
+            ).select(
+                "url", "host_key", "depth",
+                F.when(F.col("outcome") == "ok", F.col("old_num_visit") + 1 >= mv)
+                .when(F.col("outcome") == "retry", F.col("old_num_retry") + 1 >= F.lit(p.max_retry))
+                .otherwise(F.lit(True))
+                .alias("done"),
+                F.when(F.col("outcome") == "ok", F.col("emit_ms"))
+                .otherwise(F.col("old_last_ms"))
+                .cast("long")
+                .alias("last_ms"),
+                F.col("status").cast("int").alias("status"),
+                F.when(F.col("outcome") == "ok", F.col("old_num_visit") + 1)
+                .otherwise(F.col("old_num_visit"))
+                .cast("int")
+                .alias("num_visit"),
+                F.when(F.col("outcome") == "ok", F.lit(0))
+                .when(F.col("outcome") == "retry", F.col("old_num_retry") + 1)
+                .otherwise(F.col("old_num_retry"))
+                .cast("int")
+                .alias("num_retry"),
+                F.col("seen_seq").alias("seq"),
+            )
+            fresh_seen = items.where("kind = 0").select(
+                "url", "host_key", "depth",
+                F.lit(False).alias("done"),
+                F.lit(None).cast("long").alias("last_ms"),
+                F.lit(None).cast("int").alias("status"),
+                F.lit(0).alias("num_visit"),
+                F.lit(0).alias("num_retry"),
+                "seq",
+            )
+            seen = (
+                seen.join(fetched.select("url"), "url", "left_anti")
+                .unionByName(upd)
+                .unionByName(fresh_seen)
+                .localCheckpoint(eager=True)
+            )
+
+            host_upd = selected.groupBy("host_key").agg(F.max("emit_ms").alias("new_last"))
+            host_state = (
+                host_state.join(host_upd, "host_key", "full")
+                .select(
+                    "host_key",
+                    F.coalesce("new_last", "last_ms").cast("long").alias("last_ms"),
+                    "interval_ms",
+                )
+                .localCheckpoint(eager=True)
+            )
+
+            counts = {r["outcome"]: r["count"] for r in fetched.groupBy("outcome").count().collect()}
+            self.metrics.append(
+                dict(step=step, e_min=sel.e_min, selected=n_sel, new_items=n_items,
+                     hosts=sel.n_hosts, **counts, **link_stats)
+            )
+            if self.snapshot_every and step % self.snapshot_every == 0:
+                self.store.commit(
+                    step,
+                    {"seq_base": seq_base, "pops": pops},
+                    {"frontier": frontier, "seen": seen, "host_state": host_state},
+                )
+
+        emitted_root = os.path.join(self.workdir, "emitted")
+        emitted = (
+            self.spark.read.option("basePath", emitted_root).parquet(emitted_root + "/step=*")
+            if os.path.exists(emitted_root)
+            else self.spark.createDataFrame([], "step int, emit_ms long, prio int, seq long, url string, host_key string, depth int, score int, status int, outcome string")
+        )
+        emitted = with_emit_order(emitted.where(F.col("step") <= step))
+        return CrawlResult(emitted=emitted, seen=seen, steps=step, pops=pops, metrics=self.metrics)

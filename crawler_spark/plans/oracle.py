@@ -1,0 +1,241 @@
+"""Serial discrete-event crawl oracle — the executable spec.
+
+A pure-Python, single-threaded simulation of the reference crawler's
+scheduler semantics under a deterministic virtual clock, used as the
+golden source for crawl order, depths, and the final URL-seen set (the
+reference's own precedent: godoc_test.go:24-47 compares a whole crawl
+against an external oracle).
+
+Semantics modeled (reference citations):
+  * two-level politeness queue: per-host secondary order
+    (next, 999-clamp(score), seq) — queue/queue.go:182-193 refined by the
+    diskheap total order (diskheap.go:25-44); host emits at
+    max(last + interval(host), head due) — ratelimitq/queue.go:18-21,
+    228-247; drained hosts keep their Last (timewait, queue.go:154-166).
+  * host ties at equal emit broken by head (prio, seq) — a deterministic
+    refinement of the reference's arbitrary heap tie.
+  * seed injection: normalize → first-writer PutNX → depth 0
+    (crawler.go:120-140); invalid seeds dropped (recorded).
+  * fetch classification: 2xx ok; 5xx and 4xx except 404 retryable;
+    others complete (client.go:120-136); unresolvable URL = network error
+    = retryable (client.go:104-106).
+  * redirects followed one hop; final URL injected as a link
+    (fetch.go:73-81, handle.go:63-76).
+  * link pipeline: resolve against final URL → normalize → accept filters
+    (max-depth extract/extract.go:38-41, robots, same-host) → first-writer
+    dedupe with depth = parent+1 (handle.go:83-115) → ticket
+    (schedule.go:235-244); links scheduled before the parent's resched
+    (schedule.go:124-140).
+  * resched: num_visit++, num_retry=0, Last=now; done when num_visit >=
+    max_visits; else next = old_last + min_delay (schedule.go:246-281).
+  * retry: num_retry++; done when >= max_retry; else next = now + delay,
+    fresh uid, score 0 (schedule.go:283-313).
+
+Virtual time is integer milliseconds starting at 0 (seed push time).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+from crawler_spark.config import CrawlPolicy
+from crawler_spark.functions.urlnorm import canonicalize, resolve
+
+
+@dataclass
+class WebRow:
+    url: str
+    status: int = 200
+    out_links: tuple = ()
+    redirect_to: Optional[str] = None
+
+
+@dataclass
+class HostPolicy:
+    interval_ms: int = 0
+    max_visits: Optional[int] = None  # None → policy.max_visits
+    robots_disallow: tuple = ()
+
+
+@dataclass
+class Item:
+    next_ms: int
+    prio: int
+    seq: int
+    avail_ms: int
+    url: str
+    depth: int
+    score: int
+
+
+@dataclass
+class SeenRow:
+    depth: int
+    done: bool = False
+    last_ms: Optional[int] = None
+    status: Optional[int] = None
+    num_visit: int = 0
+    num_retry: int = 0
+    seq: int = 0
+
+
+@dataclass
+class OracleResult:
+    emitted: list = field(default_factory=list)  # dicts, in exact crawl order
+    seen: dict = field(default_factory=dict)  # url -> SeenRow
+    rejected: dict = field(default_factory=dict)  # reason -> count
+
+
+def crawl_oracle(
+    seeds: list[str],
+    web: dict[str, WebRow],
+    host_policy: dict[str, HostPolicy],
+    policy: CrawlPolicy = CrawlPolicy(),
+    ticket_at: str = "avail",
+    max_pops: int = 1_000_000,
+) -> OracleResult:
+    res = OracleResult()
+    secondary: dict[str, list[Item]] = {}
+    last_ms: dict[str, int] = {}
+    seq_counter = 0
+
+    def hp(host: str) -> HostPolicy:
+        return host_policy.get(host, HostPolicy())
+
+    def interval(host: str) -> int:
+        v = hp(host).interval_ms
+        return v if v is not None else policy.default_interval_ms
+
+    def reject(reason: str):
+        res.rejected[reason] = res.rejected.get(reason, 0) + 1
+
+    def push(url: str, host: str, next_ms: int, avail_ms: int, score: int, depth: int, seq: int):
+        secondary.setdefault(host, []).append(
+            Item(next_ms, CrawlPolicy.prio_of(score), seq, avail_ms, url, depth, score)
+        )
+
+    def ticket_next(avail: int) -> int:
+        return avail if ticket_at == "avail" else 0
+
+    # --- seeds (crawler.go:120-140) --------------------------------------
+    for raw in seeds:
+        c = canonicalize(raw)
+        if not c.valid:
+            reject(f"seed-{c.reason}")
+            continue
+        if c.url in res.seen:
+            continue
+        score = policy.score_fn(0)
+        res.seen[c.url] = SeenRow(depth=0, seq=seq_counter)
+        push(c.url, c.host_key, ticket_next(0), 0, score, 0, seq_counter)
+        seq_counter += 1
+
+    # --- event loop -------------------------------------------------------
+    while secondary and len(res.emitted) < max_pops:
+        # choose the globally-first pop: min (emit, head prio, head seq)
+        best = None
+        for host, items in secondary.items():
+            r = last_ms[host] + interval(host) if host in last_ms else 0
+            emit_h = min(max(r, max(it.next_ms, it.avail_ms)) for it in items)
+            head = min(
+                (it for it in items if max(it.next_ms, it.avail_ms) <= emit_h),
+                key=lambda it: (it.next_ms, it.prio, it.seq),
+            )
+            key = (emit_h, head.prio, head.seq)
+            if best is None or key < best[0]:
+                best = (key, host, head)
+        (emit, _, _), host, item = best
+        secondary[host].remove(item)
+        if not secondary[host]:
+            del secondary[host]
+        last_ms[host] = emit
+
+        sr = res.seen[item.url]
+        # --- fetch (test semantics: join the web fixture) -----------------
+        row = web.get(item.url)
+        injected: list[str] = []
+        base = item.url
+        if row is not None and row.redirect_to is not None:
+            if policy.follow_redirects:
+                injected = [row.redirect_to]
+            base = row.redirect_to
+            row = web.get(row.redirect_to)
+        status = row.status if row is not None else 0
+        if 200 <= status < 300:
+            outcome = "ok"
+        elif status >= 500 or (400 <= status != 404) or status == 0:
+            outcome = "retry"
+        else:
+            outcome = "drop"
+
+        res.emitted.append(
+            dict(
+                emit_ord=len(res.emitted),
+                url=item.url,
+                host_key=host,
+                depth=item.depth,
+                emit_ms=emit,
+                score=item.score,
+                prio=item.prio,
+                seq=item.seq,
+                status=status,
+                outcome=outcome,
+            )
+        )
+
+        if outcome == "ok":
+            # links first (schedule.go:129-136), then resched (:137-140)
+            for raw in list(injected) + list(row.out_links or ()):
+                c = resolve(base, raw)
+                if not c.valid:
+                    reject(f"link-{c.reason}")
+                    continue
+                d = item.depth + 1
+                if policy.max_depth is not None and d > policy.max_depth:
+                    reject("link-maxdepth")
+                    continue
+                if policy.same_host_only and c.host_key != host:
+                    reject("link-crosshost")
+                    continue
+                if policy.obey_robots and any(
+                    c.path.startswith(p) for p in hp(c.host_key).robots_disallow
+                ):
+                    reject("link-robots")
+                    continue
+                if c.url in res.seen:
+                    continue
+                score = policy.score_fn(d)
+                res.seen[c.url] = SeenRow(depth=d, seq=seq_counter)
+                push(c.url, c.host_key, ticket_next(emit), emit, score, d, seq_counter)
+                seq_counter += 1
+
+            old_last = sr.last_ms if sr.last_ms is not None else 0
+            sr.num_visit += 1
+            sr.num_retry = 0
+            sr.last_ms = emit
+            sr.status = status
+            mv = hp(host).max_visits
+            mv = mv if mv is not None else policy.max_visits
+            if sr.num_visit >= mv:
+                sr.done = True
+            else:
+                push(
+                    item.url, host,
+                    max(ticket_next(emit), old_last + policy.min_delay_ms),
+                    emit, 0, item.depth, seq_counter,
+                )
+                seq_counter += 1
+        elif outcome == "retry":
+            sr.num_retry += 1
+            sr.status = status
+            if sr.num_retry >= policy.max_retry:
+                sr.done = True
+            else:
+                push(item.url, host, emit + policy.retry_delay_ms, emit, 0, item.depth, seq_counter)
+                seq_counter += 1
+        else:  # drop → Complete
+            sr.status = status
+            sr.done = True
+
+    return res

@@ -1,0 +1,208 @@
+"""Deterministic synthetic web fixtures (FIXTURES.md §1-3).
+
+The "web" replaces the network: fetching a URL = joining this table
+(SURVEY.md §2.1 S4). One row per crawlable URL, with out-links that
+exercise the canonicalizer (relative refs, uppercase hosts, default
+ports, fragments, duplicates, cross-host links, dead links), statuses
+that exercise the retry taxonomy (client.go:120-136), redirects, and a
+Zipf-ish host skew for politeness/salting tests. Image payload columns
+follow BASELINE.json.input_hint: (image_id, bytes, w, h, fmt, caption,
+phash) — bytes are tiny deterministic fake PNGs (see payload_bytes).
+
+Everything derives from random.Random(seed) — same seed, same web.
+"""
+
+from __future__ import annotations
+
+import random
+import struct
+import zlib
+from dataclasses import dataclass, field
+from typing import Optional
+
+from crawler_spark.plans.oracle import HostPolicy, WebRow
+
+WEB_SCHEMA = (
+    "url string, host_key string, status int, out_links array<string>, redirect_to string, "
+    "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long"
+)
+HOST_POLICY_COLS = ["host_key", "interval_ms", "max_visits", "robots_disallow"]
+
+
+def payload_bytes(rng: random.Random, w: int = 4, h: int = 4) -> bytes:
+    """A tiny valid PNG with deterministic pixels (pure stdlib encoder)."""
+    raw = b"".join(
+        b"\x00" + bytes(rng.randrange(256) for _ in range(w * 3)) for _ in range(h)
+    )
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + tag + data + struct.pack(">I", zlib.crc32(tag + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+@dataclass
+class SynthWeb:
+    rows: list  # list[dict] matching WEB_SCHEMA
+    seeds: list
+    host_policy: list  # list[dict] matching HOST_POLICY_COLS
+
+    def web_df(self, spark):
+        return spark.createDataFrame(self.rows, WEB_SCHEMA)
+
+    def host_policy_df(self, spark):
+        from crawler_spark.plans.crawl import HOST_POLICY_SCHEMA
+
+        return spark.createDataFrame(
+            [tuple(h[c] for c in HOST_POLICY_COLS) for h in self.host_policy], HOST_POLICY_SCHEMA
+        )
+
+    def oracle_web(self) -> dict:
+        return {
+            r["url"]: WebRow(
+                url=r["url"],
+                status=r["status"],
+                out_links=tuple(r["out_links"] or ()),
+                redirect_to=r["redirect_to"],
+            )
+            for r in self.rows
+        }
+
+    def oracle_host_policy(self) -> dict:
+        return {
+            h["host_key"]: HostPolicy(
+                interval_ms=h["interval_ms"],
+                max_visits=h["max_visits"],
+                robots_disallow=tuple(h["robots_disallow"] or ()),
+            )
+            for h in self.host_policy
+        }
+
+
+def synth_web(
+    n_pages: int = 40,
+    n_hosts: int = 4,
+    seed: int = 42,
+    links_per_page: tuple = (1, 5),
+    error_rate: float = 0.10,
+    redirect_rate: float = 0.08,
+    dead_link_rate: float = 0.05,
+    messy_link_rate: float = 0.25,
+    robots_rate: float = 0.08,
+    intervals=(0, 25, 50, 100),
+    n_seeds: int = 3,
+    max_visits: int = 1,
+    with_payload: bool = True,
+    zipf_s: float = 1.2,
+) -> SynthWeb:
+    rng = random.Random(seed)
+    hosts = [f"h{i}.example.com" for i in range(n_hosts)]
+    # Zipf-ish page counts per host (skew fixture)
+    weights = [1.0 / ((i + 1) ** zipf_s) for i in range(n_hosts)]
+    tot = sum(weights)
+    counts = [max(1, round(n_pages * w / tot)) for w in weights]
+    while sum(counts) > n_pages:
+        counts[counts.index(max(counts))] -= 1
+    while sum(counts) < n_pages:
+        counts[0] += 1
+
+    urls: list[tuple[str, str]] = []  # (url, host)
+    for h, c in zip(hosts, counts):
+        for j in range(c):
+            path = f"/p{j}" if rng.random() > robots_rate else f"/admin/p{j}"
+            urls.append((f"http://{h}{path}", h))
+    url_set = [u for u, _ in urls]
+
+    def messy(target: str, host: str) -> str:
+        """Render a link target in a non-canonical way."""
+        scheme, rest = target.split("://", 1)
+        thost, tpath = rest.split("/", 1)
+        tpath = "/" + tpath
+        choice = rng.randrange(5)
+        if choice == 0:
+            return f"HTTP://{thost.upper()}{tpath}"
+        if choice == 1:
+            return f"http://{thost}:80{tpath}#frag{rng.randrange(9)}"
+        if choice == 2 and thost == host:
+            return tpath  # relative
+        if choice == 3:
+            return f"http://{thost}/x/..{tpath}"
+        return f"//{thost}{tpath}"
+
+    rows = []
+    redirect_targets = set()
+    for i, (u, h) in enumerate(urls):
+        r = rng.random()
+        if r < error_rate / 2:
+            status = rng.choice([500, 503, 429])
+        elif r < error_rate:
+            status = rng.choice([404, 403, 401]) if rng.random() < 0.5 else 404
+        else:
+            status = 200
+        nl = rng.randint(*links_per_page)
+        out = []
+        for _ in range(nl):
+            if rng.random() < dead_link_rate:
+                out.append(f"http://{h}/dead{rng.randrange(1000)}")
+                continue
+            tgt = rng.choice(url_set)
+            out.append(messy(tgt, h) if rng.random() < messy_link_rate else tgt)
+        redirect_to = None
+        if rng.random() < redirect_rate and status == 200:
+            cand = rng.choice(url_set)
+            if cand != u and cand not in redirect_targets:
+                redirect_to = cand
+                redirect_targets.add(u)  # this row redirects; don't chain onto it
+        prng = random.Random(seed * 1_000_003 + i)
+        rows.append(
+            dict(
+                url=u,
+                host_key=h,
+                status=status,
+                out_links=out,
+                redirect_to=redirect_to,
+                image_id=f"img{i}",
+                bytes=payload_bytes(prng) if with_payload else None,
+                w=4,
+                h=4,
+                fmt="png",
+                caption=f"caption {i} — 图{i}",
+                phash=prng.getrandbits(63),
+            )
+        )
+    # avoid redirect chains: a row that is itself a redirect target must not redirect
+    by_url = {r["url"]: r for r in rows}
+    for r in rows:
+        t = r["redirect_to"]
+        if t is not None and by_url[t]["redirect_to"] is not None:
+            r["redirect_to"] = None
+
+    host_policy = [
+        dict(
+            host_key=h,
+            interval_ms=intervals[i % len(intervals)],
+            max_visits=max_visits,
+            robots_disallow=["/admin"],
+        )
+        for i, h in enumerate(hosts)
+    ]
+    seeds = []
+    for k in range(n_seeds):
+        u = url_set[(k * 7919) % len(url_set)]
+        if k == 0:
+            seeds.append(u)
+        elif k % 2:
+            scheme, rest = u.split("://", 1)
+            seeds.append(f"HTTP://{rest}#top")  # non-canonical seed
+        else:
+            seeds.append(u)
+    seeds.append("ftp://bad.example.com/x")  # invalid seed (rejected)
+    return SynthWeb(rows=rows, seeds=seeds, host_policy=host_policy)

@@ -1,0 +1,119 @@
+"""Queue-ordering contract tests, ported from the reference:
+
+- score order at equal time (memqueue_test.go:41-65)
+- time order across hosts (memqueue_test.go:67-98 / ratelimitq testTime)
+- rate-limit interleave (queue/ratelimitq/queue_test.go:92-133):
+  intervals a=50ms b=25ms, items a:+25 a:+50 b:+60 b:+100 →
+  pop order /25, /60, /50, /100
+- FIFO tie-break at equal (next, score) (diskheap.go:34-44)
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_spark.config import CrawlPolicy
+from crawler_spark.operators.selection import select_batch
+from crawler_spark.plans.crawl import FRONTIER_SCHEMA, HOST_STATE_SCHEMA
+
+
+def drain(spark, items, host_intervals=None, default_interval_ms=0, mode="exact"):
+    """Pop everything from a static frontier (no link discovery), returning
+    urls in emission order — the batch equivalent of serial Pop-until-empty."""
+    rows = [
+        (u, host, int(next_ms), int(next_ms), int(score), CrawlPolicy.prio_of(score), int(seq), 0, 0)
+        for (u, host, next_ms, score, seq) in items
+    ]
+    frontier = spark.createDataFrame(rows, FRONTIER_SCHEMA)
+    hs_rows = [(h, None, int(iv)) for h, iv in (host_intervals or {}).items()]
+    host_state = spark.createDataFrame(hs_rows, HOST_STATE_SCHEMA)
+    out = []
+    for _ in range(100):
+        sel = select_batch(
+            frontier, host_state, default_interval_ms=default_interval_ms, mode=mode
+        )
+        if sel.selected is None:
+            break
+        got = sel.selected.localCheckpoint(eager=True)
+        sel.release()
+        batch = got.collect()
+        out.extend(sorted(batch, key=lambda r: (r["emit_ms"], r["prio"], r["seq"])))
+        frontier = frontier.join(got.select("seq"), "seq", "left_anti").localCheckpoint(eager=True)
+        upd = got.groupBy("host_key").agg(F.max("emit_ms").alias("new_last"))
+        host_state = (
+            host_state.join(upd, "host_key", "full")
+            .select(
+                "host_key",
+                F.coalesce("new_last", "last_ms").cast("long").alias("last_ms"),
+                "interval_ms",
+            )
+            .localCheckpoint(eager=True)
+        )
+    return out
+
+
+@pytest.mark.parametrize("mode", ["exact", "fast", "serial"])
+def test_priority_order_at_equal_time(spark, mode):
+    # memqueue_test.go:41-65 / ratelimitq testPriority: scores 300,100,200
+    # pushed at next=+50ms on one host → pop order 300,200,100
+    items = [
+        ("http://a.example.com/300", "a.example.com", 50, 300, 0),
+        ("http://a.example.com/100", "a.example.com", 50, 100, 1),
+        ("http://a.example.com/200", "a.example.com", 50, 200, 2),
+    ]
+    got = [r["url"].rsplit("/", 1)[1] for r in drain(spark, items, mode=mode)]
+    assert got == ["300", "200", "100"]
+
+
+@pytest.mark.parametrize("mode", ["exact", "fast", "serial"])
+def test_time_order(spark, mode):
+    # ratelimitq testTime: a:+50, b:+75, a:+25, b:+100 → 25,50,75,100
+    items = [
+        ("http://a.example.com/50", "a.example.com", 50, 0, 0),
+        ("http://b.example.com/75", "b.example.com", 75, 0, 1),
+        ("http://a.example.com/25", "a.example.com", 25, 0, 2),
+        ("http://b.example.com/100", "b.example.com", 100, 0, 3),
+    ]
+    got = [r["url"].rsplit("/", 1)[1] for r in drain(spark, items, mode=mode)]
+    assert got == ["25", "50", "75", "100"]
+
+
+@pytest.mark.parametrize("mode", ["exact", "fast", "serial"])
+def test_rate_limit_interleave(spark, mode):
+    # ratelimitq queue_test.go:92-133: intervals a=50 b=25;
+    # items a:+25 a:+50 b:+60 b:+100 → /25, /60, /50, /100
+    items = [
+        ("http://a.example.com/25", "a.example.com", 25, 0, 0),
+        ("http://a.example.com/50", "a.example.com", 50, 0, 1),
+        ("http://b.example.com/60", "b.example.com", 60, 0, 2),
+        ("http://b.example.com/100", "b.example.com", 100, 0, 3),
+    ]
+    got = drain(
+        spark, items,
+        host_intervals={"a.example.com": 50, "b.example.com": 25},
+        mode=mode,
+    )
+    assert [r["url"].rsplit("/", 1)[1] for r in got] == ["25", "60", "50", "100"]
+    # emission timestamps: a pops /25 at 25 → ready at 75, but /50 due at 50
+    # → max(75,50)=75; b pops /60 at 60, /100 at 100
+    assert [r["emit_ms"] for r in got] == [25, 60, 75, 100]
+
+
+@pytest.mark.parametrize("mode", ["exact", "fast", "serial"])
+def test_fifo_tie_break(spark, mode):
+    # diskheap.go:34-44: equal (next, score) → FIFO by insertion seq
+    items = [
+        ("http://a.example.com/first", "a.example.com", 10, 7, 0),
+        ("http://a.example.com/second", "a.example.com", 10, 7, 1),
+        ("http://b.example.com/third", "b.example.com", 10, 7, 2),
+    ]
+    got = [r["url"].rsplit("/", 1)[1] for r in drain(spark, items, mode=mode)]
+    assert got == ["first", "second", "third"]
+
+
+def test_multi_pop_batch_matches_serial(spark):
+    # a host with many due items and an interval: exact mode multi-pops at
+    # e_min + k·interval — same emission schedule the serial queue produces
+    items = [(f"http://a.example.com/{i}", "a.example.com", 0, 0, i) for i in range(10)]
+    got = drain(spark, items, host_intervals={"a.example.com": 10}, mode="exact")
+    assert [r["emit_ms"] for r in got] == [i * 10 for i in range(10)]
+    assert [int(r["url"].rsplit("/", 1)[1]) for r in got] == list(range(10))

@@ -3,36 +3,707 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Each query is the testdata-phrased face of an engine operator from
+SURVEY.md §2 (crawl kernel) or the training-pipeline operator set
+(dedup / similarity / text analysis); the crawl semantics themselves are
+golden-tested against the serial oracle in tests/test_crawl_e2e.py.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ===================================================================== #
+# crawl kernel operators phrased over the events/TPC-H tables
+# (events.user_id plays "host", ts plays next_ts, value plays score)
+# ===================================================================== #
+
+def q_frontier_topk(spark, sf_dir):
+    """Q2/Q3 — the frontier total order (next asc, score desc, seq asc),
+    earliest-k pop batch. Plans as TakeOrderedAndProject (no full sort)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.orderBy(F.col("ts").asc(), F.col("value").desc(), F.col("event_id").asc())
+        .select("event_id", F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"), "value")
+        .limit(100)
+    )
+
+
+def q_politeness_budget(spark, sf_dir):
+    """Q5 step 4 — per-host rank window: row_number per host in frontier
+    order, admit ≤ budget (2) per tick."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .select(F.col("user_id").alias("host"), "event_id", "rn")
+    )
+
+
+def q_seen_antijoin(spark, sf_dir):
+    """L7/M1 — the URL-seen dedupe: anti-join the 'discovered' stream
+    against the 'seen' set, count survivors per class."""
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer")
+    seen = cust.where(F.col("c_custkey") < 75).select(F.col("c_custkey").alias("user_id"))
+    return (
+        ev.join(seen, "user_id", "left_anti")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_unseen"))
+    )
+
+
+def q_first_writer_wins(spark, sf_dir):
+    """L7 PutNX — first writer (min seq) claims the key within a batch."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.min("event_id").alias("first_event_id"), F.count("*").alias("n_events")
+    )
+
+
+def q_retry_taxonomy(spark, sf_dir):
+    """C5 — status classification (2xx ok; 5xx & 4xx-except-404 retry;
+    else drop) mapped onto event classes."""
+    ev = _t(spark, sf_dir, "events")
+    outcome = (
+        F.when(F.col("event_type").isin("click", "view", "purchase"), F.lit("ok"))
+        .when((F.col("event_type") == "error") & (F.col("value") < 100.0), F.lit("retry"))
+        .otherwise(F.lit("drop"))
+    )
+    return (
+        ev.select(outcome.alias("outcome"))
+        .groupBy("outcome")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_host_metrics(spark, sf_dir):
+    """C8 — per-host crawl metrics: counts + first/last + mean score."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(F.col("user_id").alias("host")).agg(
+        F.count("*").alias("n_fetch"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("first_ts"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts"),
+        F.round(F.sum("value") / F.count("*"), 6).alias("mean_value"),
+    )
+
+
+def q_recovery_scan(spark, sf_dir):
+    """S3 — recovery source: stream all non-Done rows from the store
+    (orders with open status) grouped for verification."""
+    od = _t(spark, sf_dir, "orders")
+    return (
+        od.where(F.col("o_orderstatus") != "F")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_open"), F.round(F.sum("o_totalprice"), 4).alias("open_value"))
+    )
+
+
+def q_emit_order(spark, sf_dir):
+    """Q2 — global crawl-order ordinal assignment over an emitted batch."""
+    ev = _t(spark, sf_dir, "events")
+    batch = ev.orderBy(F.col("ts").asc(), F.col("event_id").asc()).limit(500)
+    w = Window.orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return batch.withColumn("emit_ord", F.row_number().over(w) - 1).select(
+        "emit_ord", "event_id", F.col("user_id").alias("host")
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    """Per-host gap sessionization (30-min idle gap) — the host_state
+    last-fetch bookkeeping pattern as an analytics op."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    prev = F.lag(F.col("ts")).over(w)
+    # ts is TIMESTAMP_NTZ from parquet; cast for epoch arithmetic (UTC session)
+    us = lambda c: F.unix_micros(c.cast("timestamp"))
+    new_sess = F.when(
+        prev.isNull() | ((us(F.col("ts")) - us(prev)) > 1800 * 1_000_000), 1
+    ).otherwise(0)
+    return (
+        ev.withColumn("ns", new_sess)
+        .groupBy("user_id")
+        .agg(F.sum("ns").alias("n_sessions"), F.count("*").alias("n_events"))
+    )
+
+
+def q_hourly_rollup(spark, sf_dir):
+    """Time-bucketed rollup (the metrics-table tick aggregation)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+# ===================================================================== #
+# classic relational coverage (joins / aggregation / top-k)
+# ===================================================================== #
+
+def q_lineitem_rollup(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            F.round(F.sum("l_quantity") / F.count("*"), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_top_revenue(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cust.where(F.col("c_mktsegment") == "BUILDING")), od.o_custkey == F.col("c_custkey"))
+        .groupBy("l_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q_region_rollup(spark, sf_dir):
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    return (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(F.count("*").alias("n_suppliers"), F.round(F.sum("s_acctbal"), 4).alias("total_bal"))
+    )
+
+
+# ===================================================================== #
+# URL canonicalization (U2) — UDF vs analytically-derived expectation
+# ===================================================================== #
+
+def q_url_canonicalize(spark, sf_dir):
+    """Runs the real canonicalize UDF on messy synthetic URLs; the oracle
+    states the expected output analytically (independent derivation)."""
+    from crawler_spark.functions.urlnorm import canonicalize_udf
+
+    cust = _t(spark, sf_dir, "customer")
+    messy = F.concat(
+        F.lit("HTTP://Cust"), F.col("c_custkey").cast("string"),
+        F.lit(".Example.COM:80/a/./b/../c"), F.lit("#frag"),
+    )
+    return (
+        cust.select("c_custkey", canonicalize_udf(messy).alias("c"))
+        .select("c_custkey", F.col("c.url").alias("url_norm"), F.col("c.host_key").alias("host"))
+    )
+
+
+# ===================================================================== #
+# corpus pipeline: dedup / text analysis / similarity
+# ===================================================================== #
+
+def q_dedup_exact(spark, sf_dir):
+    from crawler_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    from crawler_spark.functions.text import fingerprint_md5
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint_md5(F.col("text")).alias("fp"))
+
+
+def q_text_stats(spark, sf_dir):
+    from crawler_spark.functions.text import alpha_ratio, punct_ratio, token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars_calc"),
+        F.round(punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        F.round(alpha_ratio(F.col("text")), 6).alias("alpha_ratio"),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    from crawler_spark.functions.text import lang_guess
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_guess(F.col("text")).alias("lang_guess"))
+
+
+def q_token_stats_by_lang(spark, sf_dir):
+    from crawler_spark.functions.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count(F.col("text"))).alias("total_tokens"),
+        F.round(F.sum(F.length("text")) / F.count("*"), 6).alias("mean_chars"),
+    )
+
+
+def q_quality_filter(spark, sf_dir):
+    from crawler_spark.functions.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.round(quality_score(F.col("text")), 6).alias("quality"))
+        .where(F.col("quality") >= 0.5)
+    )
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from crawler_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    p = ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.8)
+    return p.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_minhash_near_dups(spark, sf_dir):
+    from crawler_spark.operators.dedup import minhash_near_dups
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_near_dups(d, "doc_id", "text", threshold=0.6).select(
+        "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
+    )
+
+
+def q_simhash(spark, sf_dir):
+    from crawler_spark.operators.dedup import simhash
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash(d, "doc_id", "text").select(F.col("id").alias("doc_id"), "simhash")
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    from crawler_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qrow = emb.orderBy("vec_id").select("embedding").first()
+    res = cosine_topk(emb, "vec_id", "embedding", list(qrow["embedding"]), 10)
+    return res.select(F.col("id").alias("vec_id"), F.round("score", 4).alias("score"))
+
+
+def q_ann_srp_topk(spark, sf_dir):
+    from crawler_spark.operators.similarity import ann_topk_srp
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qrow = emb.orderBy("vec_id").select("embedding").first()
+    res = ann_topk_srp(emb, "vec_id", "embedding", list(qrow["embedding"]), 10, bits=6)
+    return res.select(F.col("id").alias("vec_id"), F.round("score", 4).alias("score"))
+
+
+def q_embedding_dup_pairs(spark, sf_dir):
+    """Exact brute-force cosine≥τ pairs (the oracle-checkable face of the
+    SRP-bucketed near-dup operator)."""
+    from crawler_spark.operators.similarity import dot, unit_norm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select(F.col("vec_id").alias("id"), unit_norm(F.col("embedding")).alias("v"))
+    a = e.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    b = e.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", dot(F.col("v_a"), F.col("v_b")).alias("cosine"))
+        .where(F.col("cosine") >= 0.35)
+        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+    )
+
+
+def q_mm_payload_stats(spark, sf_dir):
+    """Multimodal plumbing: opaque binary payload column + typed metadata
+    (here the payload is the utf-8 encoding of text — the schema shape of
+    the image/caption table of BASELINE.json.input_hint)."""
+    d = _t(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(payload).alias("n_bytes"),
+        (F.octet_length(payload) - F.length("text")).alias("n_multibyte_extra"),
+    )
+
+
+# ===================================================================== #
+# the crawl engine itself, driven from testdata (rows-only check)
+# ===================================================================== #
+
+def _derived_web(spark, sf_dir, n_events: int = 2000):
+    """Deterministic synthetic web derived from the events table:
+    url = http://u<user_id>.events.test/e/<event_id>; two out-links per
+    page via fixed arithmetic on event ids; error events are 5xx."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_id") < n_events)
+        .select("event_id", "user_id", "event_type")
+    )
+    n = ev.agg(F.max("event_id")).first()[0] + 1
+    url = F.concat(
+        F.lit("http://u"), F.col("user_id").cast("string"),
+        F.lit(".events.test/e/"), F.col("event_id").cast("string"),
+    )
+    tgt = ev.select(
+        F.col("event_id").alias("t_id"),
+        F.concat(
+            F.lit("http://u"), F.col("user_id").cast("string"),
+            F.lit(".events.test/e/"), F.col("event_id").cast("string"),
+        ).alias("t_url"),
+    )
+    links = (
+        ev.select(
+            "event_id",
+            F.explode(
+                F.array(
+                    (F.col("event_id") * 2 + 1) % n,
+                    (F.col("event_id") * 3 + 7) % n,
+                )
+            ).alias("t_id"),
+        )
+        .join(tgt, "t_id")
+        .groupBy("event_id")
+        .agg(F.array_sort(F.collect_list("t_url")).alias("out_links"))
+    )
+    web = (
+        ev.join(links, "event_id", "left")
+        .select(
+            url.alias("url"),
+            F.concat(F.lit("u"), F.col("user_id").cast("string"), F.lit(".events.test")).alias("host_key"),
+            F.when(F.col("event_type") == "error", 500).otherwise(200).alias("status"),
+            F.coalesce("out_links", F.array().cast("array<string>")).alias("out_links"),
+            F.lit(None).cast("string").alias("redirect_to"),
+        )
+    )
+    seeds = [r["url"] for r in web.orderBy("url").limit(3).collect()]
+    return web, seeds
+
+
+def q_crawl_bfs(spark, sf_dir):
+    """End-to-end frontier/scheduler run on the derived web (rows-only:
+    the serial-oracle equivalence is asserted in tests/test_crawl_e2e)."""
+    import tempfile
+
+    from crawler_spark.config import CrawlPolicy
+    from crawler_spark.plans.crawl import CrawlEngine
+
+    web, seeds = _derived_web(spark, sf_dir)
+    policy = CrawlPolicy(max_depth=4, max_retry=1, obey_robots=False)
+    eng = CrawlEngine(
+        spark, web, policy=policy,
+        workdir=tempfile.mkdtemp(prefix="crawl_entry_"),
+        max_pops=60,
+    )
+    res = eng.run(seeds)
+    return res.emitted.select("emit_ord", "url", "depth", "status", "outcome").orderBy("emit_ord")
+
+
+# ===================================================================== #
+# driver contract
+# ===================================================================== #
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the crawl engine end-to-end on sf0.001-derived web."""
+    return q_crawl_bfs(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "frontier_topk": q_frontier_topk,
+        "politeness_budget": q_politeness_budget,
+        "seen_antijoin": q_seen_antijoin,
+        "first_writer_wins": q_first_writer_wins,
+        "retry_taxonomy": q_retry_taxonomy,
+        "host_metrics": q_host_metrics,
+        "recovery_scan": q_recovery_scan,
+        "emit_order": q_emit_order,
+        "sessionize": q_sessionize,
+        "hourly_rollup": q_hourly_rollup,
+        "lineitem_rollup": q_lineitem_rollup,
+        "top_revenue": q_top_revenue,
+        "region_rollup": q_region_rollup,
+        "url_canonicalize": q_url_canonicalize,
+        "dedup_exact": q_dedup_exact,
+        "doc_fingerprint": q_doc_fingerprint,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "token_stats_by_lang": q_token_stats_by_lang,
+        "quality_filter": q_quality_filter,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash": q_simhash,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_srp_topk": q_ann_srp_topk,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
+        "mm_payload_stats": q_mm_payload_stats,
+        "crawl_bfs": q_crawl_bfs,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_LANG_SQL = """
+WITH p AS (
+  SELECT doc_id, ' ' || lower(text) || ' ' AS pt FROM documents
+), s AS (
+  SELECT doc_id,
+    CAST((length(pt) - length(replace(pt, ' the ', ''))) / 5 AS BIGINT)
+    + CAST((length(pt) - length(replace(pt, ' and ', ''))) / 5 AS BIGINT)
+    + CAST((length(pt) - length(replace(pt, ' of ', ''))) / 4 AS BIGINT)
+    + CAST((length(pt) - length(replace(pt, ' to ', ''))) / 4 AS BIGINT)
+    + CAST((length(pt) - length(replace(pt, ' is ', ''))) / 4 AS BIGINT) AS s_en,
+    CAST((length(pt) - length(replace(pt, ' der ', ''))) / 5 AS BIGINT)
+    + CAST((length(pt) - length(replace(pt, ' die ', ''))) / 5 AS BIGINT)
+    + CAST((length(pt) - length(replace(pt, ' und ', ''))) / 5 AS BIGINT)
+    + CAST((length(pt) - length(replace(pt, ' ist ', ''))) / 5 AS BIGINT)
+    + CAST((length(pt) - length(replace(pt, ' das ', ''))) / 5 AS BIGINT) AS s_de,
+    CAST((length(pt) - length(replace(pt, ' le ', ''))) / 4 AS BIGINT)
+    + CAST((length(pt) - length(replace(pt, ' la ', ''))) / 4 AS BIGINT)
+    + CAST((length(pt) - length(replace(pt, ' et ', ''))) / 4 AS BIGINT)
+    + CAST((length(pt) - length(replace(pt, ' les ', ''))) / 5 AS BIGINT)
+    + CAST((length(pt) - length(replace(pt, ' est ', ''))) / 5 AS BIGINT) AS s_fr,
+    CAST((length(pt) - length(replace(pt, ' el ', ''))) / 4 AS BIGINT)
+    + CAST((length(pt) - length(replace(pt, ' los ', ''))) / 5 AS BIGINT)
+    + CAST((length(pt) - length(replace(pt, ' que ', ''))) / 5 AS BIGINT)
+    + CAST((length(pt) - length(replace(pt, ' y ', ''))) / 3 AS BIGINT)
+    + CAST((length(pt) - length(replace(pt, ' es ', ''))) / 4 AS BIGINT) AS s_es
+  FROM p
+)
+SELECT doc_id,
+  CASE WHEN greatest(s_en, s_de, s_fr, s_es) <= 0 THEN 'und'
+       WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+       WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+       WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+       ELSE 'es' END AS lang_guess
+FROM s
+"""
+
+_QUALITY_SQL = """
+WITH b AS (
+  SELECT doc_id, text,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END AS nt,
+    length(text) AS n,
+    length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS np,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS na,
+    length(regexp_replace(trim(text), '\\s+', '', 'g')) AS nns
+  FROM documents
+), t AS (
+  SELECT doc_id,
+    least(CAST(nt AS DOUBLE) / 100.0, 1.0) AS length_term,
+    CASE WHEN n = 0 THEN 0.0 ELSE CAST(na AS DOUBLE) / n END AS alpha_term,
+    1.0 - least((CASE WHEN n = 0 THEN 0.0 ELSE CAST(np AS DOUBLE) / n END) * 5.0, 1.0) AS punct_term,
+    CASE WHEN nt = 0 THEN 0.0 ELSE CAST(nns AS DOUBLE) / nt END AS wl
+  FROM b
+)
+SELECT doc_id,
+  ROUND((length_term + alpha_term + punct_term
+         + CASE WHEN wl >= 3.0 AND wl <= 10.0 THEN 1.0 ELSE 0.5 END) / 4.0, 6) AS quality
+FROM t
+WHERE (length_term + alpha_term + punct_term
+       + CASE WHEN wl >= 3.0 AND wl <= 10.0 THEN 1.0 ELSE 0.5 END) / 4.0 >= 0.5
+"""
+
+_NGRAM_JACCARD_SQL = """
+WITH nt AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, substr(t, CAST(i AS BIGINT), 3) AS sh
+  FROM nt, UNNEST(range(1, greatest(length(t) - 1, 1))) AS u(i)
+  WHERE length(t) >= 3
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b USING (sh)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+  ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
+"""
+
+_ANN_SQL = """
+WITH q AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+), e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+)
+SELECT vec_id,
+  ROUND(CASE WHEN sqrt(list_dot_product(v, v)) = 0 OR sqrt(list_dot_product(qv, qv)) = 0
+        THEN 0.0
+        ELSE list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)))
+        END, 4) AS score
+FROM e, q
+ORDER BY CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN 0.0
+         ELSE list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) END DESC,
+         vec_id ASC
+LIMIT 10
+"""
+
+_EMB_PAIRS_SQL = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), n AS (
+  SELECT vec_id,
+    CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN v
+         ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v))) END AS u
+  FROM e
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  ROUND(list_dot_product(a.u, b.u), 4) AS cosine
+FROM n a, n b
+WHERE a.vec_id < b.vec_id AND list_dot_product(a.u, b.u) >= 0.35
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    norm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+    return {
+        "frontier_topk": (
+            "SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s, value "
+            "FROM events ORDER BY ts ASC, value DESC, event_id ASC LIMIT 100"
+        ),
+        "politeness_budget": (
+            "SELECT user_id AS host, event_id, rn FROM ("
+            " SELECT user_id, event_id, ROW_NUMBER() OVER "
+            " (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn FROM events)"
+            " WHERE rn <= 2"
+        ),
+        "seen_antijoin": (
+            "SELECT event_type, count(*) AS n_unseen FROM events e "
+            "WHERE NOT EXISTS (SELECT 1 FROM customer c "
+            "WHERE c.c_custkey < 75 AND c.c_custkey = e.user_id) "
+            "GROUP BY event_type"
+        ),
+        "first_writer_wins": (
+            "SELECT user_id, event_type, min(event_id) AS first_event_id, "
+            "count(*) AS n_events FROM events GROUP BY user_id, event_type"
+        ),
+        "retry_taxonomy": (
+            "SELECT CASE WHEN event_type IN ('click','view','purchase') THEN 'ok' "
+            "WHEN event_type = 'error' AND value < 100.0 THEN 'retry' "
+            "ELSE 'drop' END AS outcome, count(*) AS n FROM events GROUP BY 1"
+        ),
+        "host_metrics": (
+            "SELECT user_id AS host, count(*) AS n_fetch, "
+            "strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS first_ts, "
+            "strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts, "
+            "ROUND(sum(value) / count(*), 6) AS mean_value "
+            "FROM events GROUP BY user_id"
+        ),
+        "recovery_scan": (
+            "SELECT o_orderstatus, count(*) AS n_open, "
+            "ROUND(sum(o_totalprice), 4) AS open_value "
+            "FROM orders WHERE o_orderstatus <> 'F' GROUP BY o_orderstatus"
+        ),
+        "emit_order": (
+            "SELECT ROW_NUMBER() OVER (ORDER BY ts ASC, event_id ASC) - 1 AS emit_ord, "
+            "event_id, user_id AS host FROM "
+            "(SELECT * FROM events ORDER BY ts ASC, event_id ASC LIMIT 500)"
+        ),
+        "sessionize": (
+            "SELECT user_id, sum(ns) AS n_sessions, count(*) AS n_events FROM ("
+            " SELECT user_id, CASE WHEN prev IS NULL OR "
+            " (epoch_us(ts) - epoch_us(prev)) > 1800 * 1000000 THEN 1 ELSE 0 END AS ns"
+            " FROM (SELECT user_id, ts, LAG(ts) OVER "
+            "  (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev FROM events))"
+            " GROUP BY user_id"
+        ),
+        "hourly_rollup": (
+            "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, "
+            "event_type, count(*) AS n, ROUND(sum(value), 4) AS sum_value "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "lineitem_rollup": (
+            "SELECT l_returnflag, l_linestatus, "
+            "ROUND(sum(l_quantity), 4) AS sum_qty, "
+            "ROUND(sum(l_extendedprice), 4) AS sum_base_price, "
+            "ROUND(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price, "
+            "ROUND(sum(l_quantity) / count(*), 6) AS avg_qty, "
+            "count(*) AS count_order "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "top_revenue": (
+            "SELECT l_orderkey, ROUND(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"
+        ),
+        "region_rollup": (
+            "SELECT r_name AS region, count(*) AS n_suppliers, "
+            "ROUND(sum(s_acctbal), 4) AS total_bal "
+            "FROM supplier JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
+        ),
+        "url_canonicalize": (
+            "SELECT c_custkey, "
+            "'http://cust' || c_custkey || '.example.com/a/c' AS url_norm, "
+            "'cust' || c_custkey || '.example.com' AS host FROM customer"
+        ),
+        "dedup_exact": (
+            f"SELECT md5({norm}) AS fp, min(doc_id) AS keep_id, "
+            f"count(*) AS n_dups FROM documents GROUP BY 1"
+        ),
+        "doc_fingerprint": f"SELECT doc_id, md5({norm}) AS fp FROM documents",
+        "text_stats": (
+            "SELECT doc_id, "
+            "CASE WHEN length(trim(text)) = 0 THEN 0 "
+            "ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens, "
+            "length(text) AS n_chars_calc, "
+            "ROUND(CASE WHEN length(text) = 0 THEN 0.0 ELSE "
+            "CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / length(text) END, 6) AS punct_ratio, "
+            "ROUND(CASE WHEN length(text) = 0 THEN 0.0 ELSE "
+            "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) END, 6) AS alpha_ratio "
+            "FROM documents"
+        ),
+        "lang_id": _LANG_SQL,
+        "token_stats_by_lang": (
+            "SELECT lang, count(*) AS n_docs, "
+            "sum(CASE WHEN length(trim(text)) = 0 THEN 0 "
+            "ELSE len(string_split_regex(trim(text), '\\s+')) END) AS total_tokens, "
+            "ROUND(CAST(sum(length(text)) AS DOUBLE) / count(*), 6) AS mean_chars "
+            "FROM documents GROUP BY lang"
+        ),
+        "quality_filter": _QUALITY_SQL,
+        "ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "ann_cosine_topk": _ANN_SQL,
+        "embedding_dup_pairs": _EMB_PAIRS_SQL,
+        "mm_payload_stats": (
+            "SELECT doc_id, octet_length(encode(text)) AS n_bytes, "
+            "octet_length(encode(text)) - length(text) AS n_multibyte_extra "
+            "FROM documents"
+        ),
+        # rows-only (no SQL-expressible oracle): minhash_near_dups, simhash,
+        # ann_srp_topk (xxhash64-derived), crawl_bfs (iterative engine;
+        # golden-tested against the serial oracle in tests/test_crawl_e2e).
+    }

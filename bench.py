@@ -1,0 +1,119 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1, ...extras}
+
+The headline set covers the engine's core paths: the crawl superstep
+loop (the north metric — frontier URLs scheduled/sec), politeness
+selection, dedupe (exact + minhash-LSH + simhash), similarity search,
+text analysis, and the relational kernel. Scaling-efficiency runs (same
+job at local[8] vs local[32]) are driven by tools/scaling_bench.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from crawler_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="crawler-spark-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    bench_names = [
+        "frontier_topk",
+        "politeness_budget",
+        "seen_antijoin",
+        "emit_order",
+        "sessionize",
+        "hourly_rollup",
+        "lineitem_rollup",
+        "top_revenue",
+        "url_canonicalize",
+        "dedup_exact",
+        "minhash_near_dups",
+        "simhash",
+        "ngram_jaccard",
+        "ann_cosine_topk",
+        "text_stats",
+        "quality_filter",
+    ]
+    timings: dict[str, float] = {}
+    for name in bench_names:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        _ = n
+
+    # crawl throughput: the north metric — URLs scheduled (popped)/sec
+    # over the full superstep loop on the events-derived web
+    import tempfile
+
+    from crawler_spark.config import CrawlPolicy
+    from crawler_spark.plans.crawl import CrawlEngine
+
+    web, seeds = entrymod._derived_web(spark, SF_DIR, n_events=5000)
+    web = web.persist()
+    web.count()
+    seeds = [r["url"] for r in web.orderBy("url").limit(10).collect()]
+    t0 = time.time()
+    eng = CrawlEngine(
+        spark,
+        web,
+        policy=CrawlPolicy(max_depth=None, max_retry=1, obey_robots=False,
+                           per_host_batch_cap=100_000),
+        workdir=tempfile.mkdtemp(prefix="bench_crawl_"),
+        max_pops=3000,
+        metrics_level=0,
+    )
+    res = eng.run(seeds)
+    res.emitted.count()
+    crawl_sec = round(time.time() - t0, 3)
+    timings["crawl_loop"] = crawl_sec
+    urls_per_sec = round(res.pops / crawl_sec, 1)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline-suite wall seconds (crawl loop + operator suite)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(SF_DIR),
+                "crawl_pops": res.pops,
+                "crawl_steps": res.steps,
+                "crawl_urls_per_sec": urls_per_sec,
+                "cpus": CPUS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

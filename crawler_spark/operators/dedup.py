@@ -1,0 +1,277 @@
+"""Corpus deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard, and embedding-cosine near-dup.
+
+The reference's near-dup machinery is the simhash fingerprint + BK-tree
+radius search (sample/fingerprint/fingerprint.go:12-115,
+sample/bktree/bktree.go:21-62) used by its example controller to cancel
+hosts serving >50% near-duplicate pages. Here the same capabilities are
+first-class batch operators for a training-data pipeline at corpus scale.
+
+Design for 100 TB:
+  * all hashing is ``F.xxhash64`` — JVM-side, whole-stage codegen; no
+    Python in any hot path.
+  * MinHash: one explode of distinct shingles per doc, then ``k`` min
+    aggregations in a single groupBy (map-side partial aggregation does
+    most of the work before the shuffle).
+  * LSH banding turns the O(n²) pair space into an equi-join on
+    (band_id, band_hash) — shuffle is hash-partitioned on band keys, and
+    huge buckets (degenerate bands) are capped to bound worst-case skew.
+  * SimHash: explode tokens → 64 conditional-sum aggregates → bit
+    reassembly; near-dup = Hamming radius via bit_count(xor) with a
+    band-prefix join to avoid the cross product.
+  * exact dedup is a groupBy on a 128-bit content fingerprint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from crawler_spark.functions.text import char_shingles, fingerprint_md5
+
+
+# --------------------------------------------------------------------- #
+# exact
+# --------------------------------------------------------------------- #
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Representative (min id) per exact normalized-text fingerprint.
+
+    Returns (fp, keep_id, n_dups). One shuffle, partial-aggregated.
+    """
+    return (
+        df.select(fingerprint_md5(F.col(text_col)).alias("fp"), F.col(id_col).alias("id"))
+        .groupBy("fp")
+        .agg(F.min("id").alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def distinct_docs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The deduplicated corpus: rows whose id is the representative."""
+    keep = exact_dedup(df, id_col, text_col).select(F.col("keep_id").alias(id_col))
+    return df.join(keep, id_col, "inner")
+
+
+# --------------------------------------------------------------------- #
+# MinHash + LSH
+# --------------------------------------------------------------------- #
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, *, k: int = 32, shingle_n: int = 3
+) -> DataFrame:
+    """(id, sig: array<long>[k]) — k independent min-hashes of the
+    document's distinct character shingles.
+
+    Each hash_i(s) = xxhash64(i, s); min over shingles per doc. A single
+    explode + one groupBy with k partial-aggregated mins."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(char_shingles(F.col(text_col), shingle_n))).alias("sh"),
+    )
+    aggs = [F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}") for i in range(k)]
+    sig = sh.groupBy("id").agg(*aggs)
+    return sig.select("id", F.array(*[f"h{i}" for i in range(k)]).alias("sig"))
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, *, bands: int = 8, rows: int = 4, max_bucket: int = 1000
+) -> DataFrame:
+    """Candidate near-dup pairs from banded minhash signatures.
+
+    bands×rows must equal the signature length. Pairs (id_a < id_b) that
+    collide in ≥1 band. ``max_bucket`` drops degenerate buckets (e.g. the
+    empty-document signature) to bound join skew — dropped buckets are the
+    operator's documented coverage cap."""
+    b = sig.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.xxhash64(*[F.col("sig")[i * rows + j] for j in range(rows)]).alias("bh"),
+                )
+                for i in range(bands)
+            ])
+        ).alias("e"),
+    ).select("id", "e.band", "e.bh")
+    w = Window.partitionBy("band", "bh")
+    b = b.withColumn("bucket_n", F.count("*").over(w)).where(F.col("bucket_n") <= max_bucket)
+    left = b.select(F.col("band"), F.col("bh"), F.col("id").alias("id_a"))
+    right = b.select(F.col("band"), F.col("bh"), F.col("id").alias("id_b"))
+    return (
+        left.join(right, ["band", "bh"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 32,
+    bands: int = 8,
+    rows: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """End-to-end MinHash near-dup: signatures → LSH candidates →
+    signature-estimated Jaccard filter. Returns (id_a, id_b, est_jaccard)."""
+    sig = minhash_signatures(df, id_col, text_col, k=k, shingle_n=shingle_n)
+    cand = lsh_candidate_pairs(sig, bands=bands, rows=rows)
+    a = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    bb = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = (
+        cand.join(a, "id_a")
+        .join(bb, "id_b")
+        .withColumn(
+            "est_jaccard",
+            F.aggregate(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            )
+            / F.lit(k),
+        )
+    )
+    return est.where(F.col("est_jaccard") >= threshold).select("id_a", "id_b", "est_jaccard")
+
+
+# --------------------------------------------------------------------- #
+# exact n-gram Jaccard (the oracle for MinHash, and an operator itself)
+# --------------------------------------------------------------------- #
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int = 10000,
+) -> DataFrame:
+    """Exact Jaccard similarity over distinct character n-grams for every
+    pair sharing ≥1 shingle. Returns (id_a, id_b, jaccard).
+
+    Scale: the shingle self-join is bounded by dropping shingles that
+    occur in > max_shingle_freq docs (ultra-common n-grams contribute
+    almost nothing to discrimination but dominate join fan-out)."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(char_shingles(F.col(text_col), shingle_n))).alias("sh"),
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    freq = sh.groupBy("sh").agg(F.count("*").alias("df_"))
+    sh2 = sh.join(freq.where(F.col("df_") <= max_shingle_freq).select("sh"), "sh")
+    inter = (
+        sh2.select(F.col("id").alias("id_a"), "sh")
+        .join(sh2.select(F.col("id").alias("id_b"), "sh"), "sh")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .withColumn("jaccard", F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------- #
+# SimHash
+# --------------------------------------------------------------------- #
+def simhash(df: DataFrame, id_col: str, text_col: str, *, shingle_n: int = 3) -> DataFrame:
+    """64-bit SimHash per document (fingerprint.go:12-115 semantics:
+    per-feature 64-bit hashes vote per bit; bit set iff positive sum).
+
+    Implementation: explode features → one groupBy with 64 conditional
+    sums (partial-aggregated map-side) → bit reassembly. Returns
+    (id, simhash:long)."""
+    feats = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(char_shingles(F.col(text_col), shingle_n)).alias("ft"),
+    ).withColumn("h", F.xxhash64("ft"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    votes = feats.groupBy("id").agg(*aggs)
+    acc = F.lit(0).cast("long")
+    for b in range(64):
+        acc = acc + F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * (2**b if b < 63 else -(2**63))).otherwise(F.lit(0).cast("long"))
+    return votes.select("id", acc.alias("simhash"))
+
+
+def simhash_near_dups(sh: DataFrame, *, radius: int = 3) -> DataFrame:
+    """Hamming-radius pairs over (id, simhash) — the BK-tree radius query
+    (bktree.go:21-62) as a join.
+
+    Pigeonhole blocking: split the 64 bits into ``radius+1`` disjoint
+    blocks; two hashes within Hamming radius r must agree *exactly* on at
+    least one block, so the candidate space is an equi-join on
+    (block_id, block_value) followed by the exact bit_count filter.
+    Returns (id_a, id_b, hamming)."""
+    blocks = min(radius + 1, 32)
+    width = 64 // blocks
+    specs = []  # (block_id, shift, bits)
+    for i in range(blocks):
+        bits = width + (64 - width * blocks if i == blocks - 1 else 0)
+        specs.append((i, i * width, bits))
+    exploded = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("blk"),
+                    F.shiftright(F.col("simhash"), shift)
+                    .bitwiseAND(F.lit((1 << bits) - 1) if bits < 64 else F.lit(-1))
+                    .alias("bv"),
+                )
+                for (i, shift, bits) in specs
+            ])
+        ).alias("e"),
+    ).select("id", "simhash", "e.blk", "e.bv")
+    a = exploded.select("blk", "bv", F.col("id").alias("id_a"), F.col("simhash").alias("h_a"))
+    b = exploded.select("blk", "bv", F.col("id").alias("id_b"), F.col("simhash").alias("h_b"))
+    return (
+        a.join(b, ["blk", "bv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .where(F.col("hamming") <= radius)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------- #
+# embedding cosine near-dup
+# --------------------------------------------------------------------- #
+def embedding_near_dups(
+    emb: DataFrame, id_col: str, vec_col: str, *, threshold: float = 0.95, srp_bits: int = 12, seed: int = 42
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold.
+
+    Blocked by a sign-random-projection LSH bucket (see
+    operators/similarity.srp_bucket) so only same-bucket pairs are
+    scored; the cosine itself is a JVM higher-order-function expression.
+    Returns (id_a, id_b, cosine)."""
+    from crawler_spark.operators.similarity import srp_bucket, unit_norm
+
+    e = emb.select(F.col(id_col).alias("id"), unit_norm(F.col(vec_col)).alias("v"))
+    e = e.withColumn("bucket", srp_bucket(F.col("v"), bits=srp_bits, seed=seed))
+    a = e.select("bucket", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    b = e.select("bucket", F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    dot = F.aggregate(
+        F.zip_with("v_a", "v_b", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    return (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", dot)
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,250 @@
+"""Multimodal payload plumbing: opaque binary columns + typed metadata.
+
+The graft's payload table (BASELINE.json.input_hint) is image+caption:
+(image_id:string, bytes:binary, w:int32, h:int32, fmt:string,
+caption:string, phash:int64). The reference's analog is the response
+body stream + Downloader sink (response.go:29-55,
+download/download.go:62-100). Here the payload stays an opaque
+``binary`` column; decode / feature-extract / resize / frame-sample are
+Arrow-batched ``mapInPandas`` stages.
+
+The container has no image/audio codecs, so the *decode kernels* are
+pluggable: the default raises NotImplementedError (clearly-marked stub),
+and a deterministic fake decoder exercises the real Spark-side plumbing
+(schema, batching, partitioning) in tests. ``decode_png_stub`` really
+decodes the tiny stdlib-generated PNGs used by the fixtures (zlib +
+un-filtering), enough to validate payload PSNR end-to-end without any
+external library.
+
+Scale notes: payload bytes never cross the Python boundary except inside
+the mapInPandas batches that need pixel access; metadata-only operations
+(size stats, format routing, phash hamming joins) are pure column
+expressions. Batches are bounded by spark.sql.execution.arrow
+maxRecordsPerBatch to keep executor memory flat at 100 TB inputs.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from collections.abc import Callable, Iterator
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+PAYLOAD_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("bytes", BinaryType()),
+        StructField("w", IntegerType()),
+        StructField("h", IntegerType()),
+        StructField("fmt", StringType()),
+        StructField("caption", StringType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("w", IntegerType()),
+        StructField("h", IntegerType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("mean_px", ArrayType(IntegerType())),  # per-channel mean 0..255
+        StructField("phash", LongType()),
+    ]
+)
+
+
+# --------------------------------------------------------------------- #
+# decode kernels (pluggable; see module docstring)
+# --------------------------------------------------------------------- #
+def decode_stub(data: bytes, fmt: str):
+    """Production slot for a real codec (PIL/libvips/ffmpeg). STUB."""
+    raise NotImplementedError(
+        "image/audio codecs are not available in this container; plug a "
+        "decoder with the signature (bytes, fmt) -> ndarray[h][w][3]"
+    )
+
+
+def decode_png_stub(data: bytes, fmt: str) -> list[list[list[int]]]:
+    """Deterministic minimal PNG decoder for the fixture payloads
+    (8-bit RGB, no interlace, filters 0-2 as emitted by
+    sources/fixtures.payload_bytes). Pure stdlib; NOT a general codec."""
+    if fmt not in ("png",):
+        raise NotImplementedError(f"fake decoder only handles png, got {fmt}")
+    assert data[:8] == b"\x89PNG\r\n\x1a\n", "bad magic"
+    pos, w = 8, 0
+    h = 0
+    idat = b""
+    while pos < len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h, bit, color, *_ = struct.unpack(">IIBBBBB", body)
+            assert bit == 8 and color == 2, "stub handles 8-bit RGB only"
+        elif tag == b"IDAT":
+            idat += body
+        pos += 12 + ln
+    raw = zlib.decompress(idat)
+    stride = w * 3
+    out: list[list[list[int]]] = []
+    prev = bytearray(stride)
+    for y in range(h):
+        row = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        filt = raw[y * (stride + 1)]
+        if filt == 1:  # Sub
+            for i in range(3, stride):
+                row[i] = (row[i] + row[i - 3]) & 0xFF
+        elif filt == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif filt != 0:
+            raise NotImplementedError(f"filter {filt}")
+        prev = row
+        out.append([[row[x * 3], row[x * 3 + 1], row[x * 3 + 2]] for x in range(w)])
+    return out
+
+
+def psnr(a, b) -> float:
+    """Peak signal-to-noise ratio between two decoded pixel arrays."""
+    import math
+
+    n = 0
+    se = 0
+    for ra, rb in zip(a, b):
+        for pa, pb in zip(ra, rb):
+            for ca, cb in zip(pa, pb):
+                se += (ca - cb) ** 2
+                n += 1
+    if n == 0 or se == 0:
+        return float("inf")
+    return 10.0 * math.log10(255.0 * 255.0 / (se / n))
+
+
+# --------------------------------------------------------------------- #
+# Spark-side stages
+# --------------------------------------------------------------------- #
+def extract_features(
+    payload: DataFrame, decoder: Callable = decode_stub
+) -> DataFrame:
+    """Decode + feature-extract via mapInPandas (Arrow batches).
+
+    Returns FEATURE_SCHEMA rows; rows whose decode fails propagate the
+    error (a production pipeline would route them to a quarantine sink).
+    """
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            feats = []
+            for _, r in pdf.iterrows():
+                px = decoder(bytes(r["bytes"]), r["fmt"])
+                h = len(px)
+                w = len(px[0]) if h else 0
+                sums = [0, 0, 0]
+                for row in px:
+                    for p in row:
+                        for c in range(3):
+                            sums[c] += p[c]
+                npx = max(1, w * h)
+                feats.append(
+                    dict(
+                        image_id=r["image_id"],
+                        w=w,
+                        h=h,
+                        n_bytes=len(r["bytes"]),
+                        mean_px=[s // npx for s in sums],
+                        phash=int(r["phash"]) if r["phash"] is not None else None,
+                    )
+                )
+            yield pd.DataFrame(feats, columns=FEATURE_SCHEMA.fieldNames())
+
+    cols = ["image_id", "bytes", "fmt", "phash"]
+    return payload.select(*cols).mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def payload_size_stats(payload: DataFrame) -> DataFrame:
+    """Metadata-only rollup — never touches Python or the byte payload
+    beyond octet_length (column pruning keeps the scan narrow)."""
+    return payload.groupBy("fmt").agg(
+        F.count("*").alias("n"),
+        F.sum(F.octet_length("bytes")).alias("total_bytes"),
+        F.round(F.sum(F.octet_length("bytes")) / F.count("*"), 2).alias("mean_bytes"),
+        F.min("w").alias("min_w"),
+        F.max("w").alias("max_w"),
+    )
+
+
+def phash_near_dups(payload: DataFrame, *, radius: int = 6) -> DataFrame:
+    """Perceptual-hash near-duplicate pairs (image analog of simhash
+    near-dup; reuses the pigeonhole-blocked Hamming join)."""
+    from crawler_spark.operators.dedup import simhash_near_dups
+
+    sh = payload.select(F.col("image_id").alias("id"), F.col("phash").alias("simhash"))
+    return simhash_near_dups(sh, radius=radius)
+
+
+def validate_payloads(
+    ours: DataFrame,
+    reference: DataFrame,
+    *,
+    decoder: Callable = decode_png_stub,
+    min_psnr_db: float = 40.0,
+) -> DataFrame:
+    """Per-row payload invariant vs the reference (BASELINE.json:
+    decoded-pixel PSNR ≥ 40 dB for lossy, exact for lossless, caption
+    equality). Joins on image_id; PSNR computed inside mapInPandas.
+    Returns (image_id, psnr_db, caption_ok, pass)."""
+    import pandas as pd
+
+    j = ours.select(
+        "image_id", F.col("bytes").alias("b_a"), F.col("fmt").alias("fmt_a"),
+        F.col("caption").alias("cap_a"),
+    ).join(
+        reference.select(
+            "image_id", F.col("bytes").alias("b_b"), F.col("fmt").alias("fmt_b"),
+            F.col("caption").alias("cap_b"),
+        ),
+        "image_id",
+    )
+
+    schema = StructType(
+        [
+            StructField("image_id", StringType()),
+            StructField("psnr_db", DoubleType()),
+            StructField("caption_ok", BooleanType()),
+            StructField("passed", BooleanType()),
+        ]
+    )
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                pa = decoder(bytes(r["b_a"]), r["fmt_a"])
+                pb = decoder(bytes(r["b_b"]), r["fmt_b"])
+                p = psnr(pa, pb)
+                cap_ok = r["cap_a"] == r["cap_b"]
+                lossless = r["fmt_a"] in ("png",)
+                img_ok = (p == float("inf")) if lossless else (p >= min_psnr_db)
+                rows.append(
+                    dict(image_id=r["image_id"], psnr_db=p, caption_ok=cap_ok,
+                         passed=bool(img_ok and cap_ok))
+                )
+            yield pd.DataFrame(rows, columns=schema.fieldNames())
+
+    return j.mapInPandas(batches, schema)

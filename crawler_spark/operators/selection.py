@@ -82,9 +82,6 @@ def select_batch(
     host_state: host_key, last_ms, interval_ms (absent host = never popped)
     Returns selected rows with ``emit_ms`` (their virtual pop timestamps).
     """
-    if frontier.isEmpty():
-        return Selection(None, None)
-
     hs = host_state.select(
         "host_key",
         F.col("last_ms").alias("_last_ms"),
@@ -106,6 +103,9 @@ def select_batch(
     heads = heads.persist()
     agg = heads.agg(F.min("emit_ms").alias("e_min"), F.count("*").alias("n")).first()
     e_min, n_hosts = agg["e_min"], agg["n"]
+    if n_hosts == 0:  # empty frontier — no separate isEmpty() job
+        heads.unpersist()
+        return Selection(None, None)
 
     qual = heads.where(F.col("emit_ms") == e_min).select("host_key", "emit_ms", "_iv")
     # The join prunes the frontier to this step's hosts before any sort.
@@ -127,16 +127,22 @@ def select_batch(
     # virtual time e_min (any candidate item), so that a same-millisecond
     # child (prio >= its parent's >= p_min) can never preempt an admitted
     # due==e_min item of priority p_min (ties lose on fresh, larger seq).
-    p_min = cand.agg(F.min("prio")).first()[0]
-
+    # Folded into the selection plan as a broadcast scalar (no driver job).
     if mode == "exact":
-        cond = (due < e_min) | ((due == e_min) & (F.col("prio") == p_min))
+        pmin_df = cand.agg(F.min("prio").alias("_p_min"))
+        cand = cand.crossJoin(F.broadcast(pmin_df))
+        cond = (due < e_min) | ((due == e_min) & (F.col("prio") == F.col("_p_min")))
     elif mode == "fast":
         cond = due <= e_min
     else:
         raise ValueError(f"unknown selection mode {mode!r}")
 
-    sel = cand.where(cond).withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= per_host_cap)
+    sel = (
+        cand.where(cond)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= per_host_cap)
+        .drop("_p_min")
+    )
     # k-th pop of a host happens one interval after the previous one
     # (ratelimitq/queue.go:239-243 re-keys the host with Last=now per pop).
     sel = sel.withColumn(

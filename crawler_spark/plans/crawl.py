@@ -89,6 +89,22 @@ HOST_POLICY_SCHEMA = StructType([
 ])
 
 
+def _release_checkpoint(df: Optional[DataFrame]) -> None:
+    """Free the blocks of a localCheckpoint'ed DataFrame.
+
+    ``Dataset.localCheckpoint`` persists an RDD that only ContextCleaner
+    reclaims (after a JVM GC). An iterative loop that re-checkpoints state
+    every step must release the previous generation explicitly or the
+    driver/executor heap fills with dead checkpoint + broadcast blocks.
+    """
+    if df is None:
+        return
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass  # plan is not a LogicalRDD (never checkpointed) — nothing to free
+
+
 @dataclass
 class CrawlResult:
     emitted: DataFrame  # crawl order log with emit_ord
@@ -110,6 +126,7 @@ class CrawlEngine:
         snapshot_every: int = 0,
         max_steps: int = 100_000,
         max_pops: Optional[int] = None,
+        metrics_level: int = 1,
     ):
         self.spark = spark
         self.web = web
@@ -124,6 +141,9 @@ class CrawlEngine:
             host_policy = spark.createDataFrame([], HOST_POLICY_SCHEMA)
         self.host_policy = host_policy.persist()
         self.metrics: list[dict] = []
+        # 0 = no per-step metric jobs (throughput runs); 1 = per-step
+        # outcome/link counters (C8 metrics, extra Spark jobs per step)
+        self.metrics_level = metrics_level
 
     # ------------------------------------------------------------------ #
     def _init_state(self, seeds: list[str]):
@@ -255,8 +275,11 @@ class CrawlEngine:
             F.col("c.host_key").alias("host_key"),
             F.col("c.path").alias("path"),
             F.col("c.valid").alias("valid"),
-        ).persist()
-        stats = {"links_raw": lk.count(), "links_invalid": lk.where(~F.col("valid")).count()}
+        )
+        stats = {}
+        if self.metrics_level >= 1:
+            lk = lk.persist()
+            stats = {"links_raw": lk.count(), "links_invalid": lk.where(~F.col("valid")).count()}
         good = lk.where("valid").withColumn("depth", F.col("p_depth") + 1)
         if p.max_depth is not None:
             good = good.where(F.col("depth") <= p.max_depth)
@@ -288,7 +311,8 @@ class CrawlEngine:
             .withColumn("num_retry", F.lit(0))
             .withColumn("kind", F.lit(0))
         )
-        lk.unpersist()
+        if self.metrics_level >= 1:
+            lk.unpersist()
         return fresh, stats
 
     def _self_items(self, fetched: DataFrame) -> DataFrame:
@@ -413,7 +437,7 @@ class CrawlEngine:
             new_frontier_rows = items.select(
                 "url", "host_key", "next_ms", "avail_ms", "score", "prio", "seq", "depth", "num_retry"
             )
-            frontier = (
+            new_frontier = (
                 frontier.join(selected.select("seq"), "seq", "left_anti")
                 .unionByName(new_frontier_rows)
                 .localCheckpoint(eager=True)
@@ -455,7 +479,7 @@ class CrawlEngine:
                 F.lit(0).alias("num_retry"),
                 "seq",
             )
-            seen = (
+            new_seen = (
                 seen.join(fetched.select("url"), "url", "left_anti")
                 .unionByName(upd)
                 .unionByName(fresh_seen)
@@ -463,7 +487,7 @@ class CrawlEngine:
             )
 
             host_upd = selected.groupBy("host_key").agg(F.max("emit_ms").alias("new_last"))
-            host_state = (
+            new_host_state = (
                 host_state.join(host_upd, "host_key", "full")
                 .select(
                     "host_key",
@@ -473,7 +497,21 @@ class CrawlEngine:
                 .localCheckpoint(eager=True)
             )
 
-            counts = {r["outcome"]: r["count"] for r in fetched.groupBy("outcome").count().collect()}
+            counts = (
+                {r["outcome"]: r["count"] for r in fetched.groupBy("outcome").count().collect()}
+                if self.metrics_level >= 1
+                else {}
+            )
+
+            # free the previous generation's checkpoint blocks + step frames
+            for old in (frontier, seen, host_state, selected, fetched, items):
+                _release_checkpoint(old)
+            frontier, seen, host_state = new_frontier, new_seen, new_host_state
+            if step % 20 == 0:
+                # nudge ContextCleaner: dead broadcast/shuffle refs are only
+                # collected after a JVM GC (see _release_checkpoint docstring)
+                self.spark.sparkContext._jvm.System.gc()
+
             self.metrics.append(
                 dict(step=step, e_min=sel.e_min, selected=n_sel, new_items=n_items,
                      hosts=sel.n_hosts, **counts, **link_stats)

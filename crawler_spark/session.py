@@ -32,6 +32,15 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
+        # Iterative driver loop: broadcast/checkpoint blocks are only
+        # reclaimed after a JVM GC lets ContextCleaner see dead refs —
+        # tighten the periodic GC so long crawls don't accumulate heap.
+        .config("spark.cleaner.periodicGC.interval", "30s")
+        # Constraint propagation is exponential on the crawl loop's
+        # union-of-joins state plans (millions of live EqualNullSafe/Or
+        # nodes by step ~10, OOM + 10x step slowdown — measured); the
+        # loop's filters are all explicit, so inference buys nothing.
+        .config("spark.sql.constraintPropagation.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

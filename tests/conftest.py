@@ -14,7 +14,7 @@ def spark():
         app_name="crawler-spark-tests",
         master="local[4]",
         shuffle_partitions=4,
-        extra_conf={"spark.driver.memory": "4g"},
+        extra_conf={"spark.driver.memory": "8g"},
     )
     yield s
     s.stop()

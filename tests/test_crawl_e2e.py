@@ -1,0 +1,131 @@
+"""Whole-crawl golden tests: CrawlEngine vs the serial Python oracle.
+
+The reference's own precedent is godoc_test.go:24-47,53-145 — crawl a
+live godoc server and DeepEqual the crawled set + per-URL depth against
+`go list std`. Here the "web" is the deterministic synthetic fixture
+(sources/fixtures.py) and the oracle is the discrete-event simulation of
+the reference scheduler semantics (plans/oracle.py). We assert:
+
+  * exact crawl order: (emit_ord, url, emit_ms, depth, status, outcome)
+  * exact final URL-seen set: (url, depth, done, num_visit, num_retry)
+
+across policy scenarios: default visit-once, per-host politeness
+intervals, error/retry taxonomy, robots gates, max-depth, same-host, and
+the preemptive priority policy (serial selection mode).
+"""
+
+import pytest
+
+from crawler_spark.config import PRIORITY_POLICY, CrawlPolicy
+from crawler_spark.plans.crawl import CrawlEngine
+from crawler_spark.plans.oracle import crawl_oracle
+from crawler_spark.sources.fixtures import synth_web
+
+
+def run_both(spark, tmp_path, fx, policy, mode="exact", max_pops=None, snapshot_every=0):
+    engine = CrawlEngine(
+        spark,
+        fx.web_df(spark),
+        host_policy=fx.host_policy_df(spark),
+        policy=policy,
+        workdir=str(tmp_path / "work"),
+        mode=mode,
+        snapshot_every=snapshot_every,
+        max_pops=max_pops,
+    )
+    got = engine.run(fx.seeds)
+    want = crawl_oracle(
+        fx.seeds,
+        fx.oracle_web(),
+        fx.oracle_host_policy(),
+        policy=policy,
+        ticket_at=policy.ticket_at,
+        max_pops=max_pops or 1_000_000,
+    )
+    return got, want
+
+
+def assert_match(got, want):
+    g_emit = [
+        (r["emit_ord"], r["url"], r["emit_ms"], r["depth"], r["status"], r["outcome"])
+        for r in got.emitted.orderBy("emit_ord").collect()
+    ]
+    w_emit = [
+        (e["emit_ord"], e["url"], e["emit_ms"], e["depth"], e["status"], e["outcome"])
+        for e in want.emitted
+    ]
+    assert g_emit == w_emit, (
+        f"crawl order diverges at "
+        f"{next((i for i, (a, b) in enumerate(zip(g_emit, w_emit)) if a != b), 'len')}: "
+        f"engine={g_emit[:8]}... oracle={w_emit[:8]}..."
+    )
+    g_seen = {
+        r["url"]: (r["depth"], r["done"], r["num_visit"], r["num_retry"])
+        for r in got.seen.collect()
+    }
+    w_seen = {
+        u: (s.depth, s.done, s.num_visit, s.num_retry) for u, s in want.seen.items()
+    }
+    assert g_seen == w_seen
+
+
+@pytest.fixture(scope="module")
+def fx_small():
+    return synth_web(n_pages=40, n_hosts=4, seed=42)
+
+
+def test_default_policy_no_intervals(spark, tmp_path, fx_small):
+    """Visit-once, all intervals 0 (the NopController defaults): crawl set,
+    depths, and FIFO-at-equal-time order must match the oracle."""
+    fx = synth_web(n_pages=40, n_hosts=4, seed=7, intervals=(0,))
+    policy = CrawlPolicy(max_depth=6, retry_delay_ms=100)
+    got, want = run_both(spark, tmp_path, fx, policy)
+    assert_match(got, want)
+
+
+def test_politeness_intervals(spark, tmp_path, fx_small):
+    """Mixed per-host intervals: the closed-form batched emission schedule
+    must reproduce the serial two-level heap (ratelimitq) ordering."""
+    policy = CrawlPolicy(max_depth=6, retry_delay_ms=60)
+    got, want = run_both(spark, tmp_path, fx_small, policy)
+    assert_match(got, want)
+
+
+def test_bigger_graph_more_skew(spark, tmp_path):
+    fx = synth_web(n_pages=120, n_hosts=8, seed=13, links_per_page=(2, 8), zipf_s=1.5)
+    policy = CrawlPolicy(max_depth=8, retry_delay_ms=75)
+    got, want = run_both(spark, tmp_path, fx, policy)
+    assert_match(got, want)
+
+
+def test_revisits(spark, tmp_path):
+    """max_visits=2 exercises resched (num_visit++, next=last+min_delay)."""
+    fx = synth_web(n_pages=25, n_hosts=3, seed=21, max_visits=2, error_rate=0.0)
+    policy = CrawlPolicy(max_depth=4, max_visits=2, min_delay_ms=200)
+    got, want = run_both(spark, tmp_path, fx, policy)
+    assert_match(got, want)
+
+
+def test_same_host_only(spark, tmp_path, fx_small):
+    policy = CrawlPolicy(max_depth=6, same_host_only=True, retry_delay_ms=50)
+    got, want = run_both(spark, tmp_path, fx_small, policy)
+    assert_match(got, want)
+
+
+def test_priority_policy_serial_mode(spark, tmp_path):
+    """The reference example's preemptive score=1000-100·depth policy
+    (ticket At=0): only serial selection is exact — one pop per step."""
+    fx = synth_web(n_pages=20, n_hosts=3, seed=5, error_rate=0.0, redirect_rate=0.0)
+    policy = PRIORITY_POLICY
+    got, want = run_both(spark, tmp_path, fx, policy, mode="serial", max_pops=20)
+    assert_match(got, want)
+
+
+def test_max_pops_truncation(spark, tmp_path, fx_small):
+    """Engine stopped early still matches the oracle prefix."""
+    policy = CrawlPolicy(max_depth=6, retry_delay_ms=60)
+    got, want = run_both(spark, tmp_path, fx_small, policy, max_pops=15)
+    g = [(r["emit_ord"], r["url"]) for r in got.emitted.orderBy("emit_ord").collect()]
+    w = [(e["emit_ord"], e["url"]) for e in want.emitted]
+    assert len(g) >= 15
+    assert g == w[: len(g)]

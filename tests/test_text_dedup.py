@@ -1,0 +1,182 @@
+"""Tests for corpus text analysis, dedup, and similarity operators."""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_spark.functions.text import (
+    char_shingles,
+    fingerprint_md5,
+    lang_guess,
+    quality_score,
+    token_count,
+    word_shingles,
+)
+from crawler_spark.operators.dedup import (
+    embedding_near_dups,
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_near_dups,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_dups,
+)
+from crawler_spark.operators.similarity import ann_topk_srp, cosine_topk
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog and the cat"),
+        (2, "The quick brown fox jumps over the lazy dog and the cat"),  # exact dup of 1
+        (3, "The quick brown fox jumped over the lazy dog and the cat"),  # near dup of 1
+        (4, "Der schnelle braune Fuchs springt und der Hund ist faul"),
+        (5, "completely different text about spark dataframes and shuffles here"),
+        (6, ""),  # empty
+        (7, "  the   quick\tbrown fox Jumps over the lazy dog and the cat "),  # ws/case variant → exact dup of 1 after normalize
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame([("a b  c",), ("",), ("   ",), ("one",)], ["t"])
+    got = [r[0] for r in df.select(token_count(F.col("t"))).collect()]
+    assert got == [3, 0, 0, 1]
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("abcd",), ("ab",), ("",)], ["t"])
+    got = [r[0] for r in df.select(char_shingles(F.col("t"), 3)).collect()]
+    assert got == [["abc", "bcd"], [], []]
+    df2 = spark.createDataFrame([("a b c",), ("a",)], ["t"])
+    got2 = [r[0] for r in df2.select(word_shingles(F.col("t"), 2)).collect()]
+    assert got2 == [["a b", "b c"], []]
+
+
+def test_lang_guess(docs):
+    got = {r["doc_id"]: r["lg"] for r in docs.select("doc_id", lang_guess(F.col("text")).alias("lg")).collect()}
+    assert got[1] == "en"
+    assert got[4] == "de"
+    assert got[6] == "und"
+
+
+def test_quality_score_bounds(docs):
+    got = [r[0] for r in docs.select(quality_score(F.col("text"))).collect()]
+    assert all(0.0 <= q <= 1.0 for q in got)
+
+
+def test_exact_dedup(docs):
+    d = exact_dedup(docs, "doc_id", "text")
+    rows = {r["keep_id"]: r["n_dups"] for r in d.collect()}
+    # docs 1, 2, 7 normalize to the same text → representative 1, count 3
+    assert rows[1] == 3
+    assert rows[3] == 1
+    assert rows[5] == 1
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [("Hello  World",), ("  hello world ",), ("hello worlds",)], ["t"]
+    )
+    fps = [r[0] for r in df.select(fingerprint_md5(F.col("t"))).collect()]
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_minhash_lsh_finds_near_dup(docs):
+    pairs = minhash_near_dups(docs, "doc_id", "text", threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got and (1, 3) in got and (2, 3) in got
+    assert not any(5 in p for p in got)
+
+
+def test_minhash_estimates_jaccard(spark):
+    """MinHash estimate should be close to exact Jaccard on a controlled pair."""
+    rng = random.Random(0)
+    base = " ".join(f"w{rng.randrange(500)}" for _ in range(200))
+    mutated = base[: len(base) // 2] + " xyz unique tail " + base[len(base) // 2 :]
+    df = spark.createDataFrame([(1, base), (2, mutated)], "doc_id long, text string")
+    exact = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.0).collect()[0]["jaccard"]
+    est_rows = minhash_near_dups(df, "doc_id", "text", k=64, bands=16, rows=4, threshold=0.0).collect()
+    assert est_rows, "LSH should catch a high-jaccard pair"
+    est = est_rows[0]["est_jaccard"]
+    assert abs(est - exact) < 0.2, (est, exact)
+
+
+def test_ngram_jaccard_exact_values(spark):
+    df = spark.createDataFrame([(1, "abcde"), (2, "abcdx")], "doc_id long, text string")
+    # 3-grams: {abc,bcd,cde} vs {abc,bcd,cdx} → inter 2, union 4 → 0.5
+    r = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.0).collect()[0]
+    assert r["jaccard"] == pytest.approx(0.5)
+
+
+def test_simhash_near_dups(docs):
+    sh = simhash(docs.where("text <> ''"), "doc_id", "text")
+    vals = {r["id"]: r["simhash"] for r in sh.collect()}
+    # exact dups have identical simhash
+    assert vals[1] == vals[2] == vals[7]
+    pairs = simhash_near_dups(sh, radius=16)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got and (1, 3) in got
+    assert (1, 5) not in got
+
+
+def test_simhash_deterministic(docs, spark):
+    a = {r["id"]: r["simhash"] for r in simhash(docs, "doc_id", "text").collect()}
+    b = {r["id"]: r["simhash"] for r in simhash(docs, "doc_id", "text").collect()}
+    assert a == b
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = random.Random(1)
+    rows = []
+    for i in range(60):
+        v = [rng.gauss(0, 1) for _ in range(16)]
+        rows.append((i, [float(x) for x in v]))
+    # 100: near-copy of 0; 101: exact copy of 0
+    v0 = rows[0][1]
+    rows.append((100, [x + 0.01 for x in v0]))
+    rows.append((101, list(v0)))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _cos(a, b):
+    d = sum(x * y for x, y in zip(a, b))
+    return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+
+def test_cosine_topk_matches_python(emb, spark):
+    rows = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+    q = rows[0]
+    want = sorted(
+        ((vid, _cos(v, q)) for vid, v in rows.items()), key=lambda t: (-t[1], t[0])
+    )[:5]
+    got = [(r["id"], r["score"]) for r in cosine_topk(emb, "vec_id", "embedding", q, 5).collect()]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for (gid, gs), (_, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, abs=1e-5)
+
+
+def test_ann_srp_finds_close_neighbors(emb):
+    rows = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+    q = rows[0]
+    got = [r["id"] for r in ann_topk_srp(emb, "vec_id", "embedding", q, 5, bits=4).collect()]
+    # identical + near-identical vectors share the query's bucket
+    assert 0 in got and 101 in got and 100 in got
+
+
+def test_embedding_near_dups(emb):
+    pairs = embedding_near_dups(emb, "vec_id", "embedding", threshold=0.99)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 100) in got and (0, 101) in got and (100, 101) in got
+
+
+def test_lsh_bucket_cap_drops_degenerate(spark):
+    # 20 identical empty-ish docs all collide; cap of 10 drops the bucket
+    df = spark.createDataFrame([(i, "xx") for i in range(20)], "doc_id long, text string")
+    sig = minhash_signatures(df, "doc_id", "text")
+    pairs = lsh_candidate_pairs(sig, max_bucket=10)
+    assert pairs.count() == 0

@@ -1,0 +1,150 @@
+"""HTML link extraction (L1/L2) — ExtractHref + configurable Extractor.
+
+Reimplements the semantics of handle.go:117-160 (``ExtractHref``: every
+``<a href>`` resolved against the page base; ``<base href>`` updates the
+base) and extract/extract.go:17-177 (configurable tag/attr positions,
+redirect/refresh injection, JS sniffing, and the origin filters
+SameOrigin / SpanHosts / SubDomain; ResolveIP is intentionally dropped —
+non-deterministic, not in the default path).
+
+Two faces:
+  * pure-Python :func:`extract_links` — shared with the serial oracle;
+  * :func:`extractor_udf` — Arrow-vectorized page→links column for the
+    DataFrame pipeline, followed by :func:`origin_filter` which is pure
+    column logic (JVM-side) over the exploded links.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+from typing import Optional
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType
+
+from crawler_spark.functions.sniff import sniff_absolute_urls, sniff_window_location
+from crawler_spark.functions.urlnorm import _CANON_SCHEMA, CanonResult, resolve
+
+SNIFF_WINDOW_LOCATION = 1
+SNIFF_ABSOLUTE_URLS = 2
+
+DEFAULT_POS = (("a", "href"),)
+
+
+class _LinkParser(HTMLParser):
+    def __init__(self, base: str, positions, sniff_flags: int):
+        super().__init__(convert_charrefs=True)
+        self.base = base
+        self.pos = {(t.lower(), a.lower()) for t, a in positions}
+        self.tags = {t for t, _ in self.pos}
+        self.sniff = sniff_flags
+        self.out: list[str] = []  # raw (unresolved) refs in document order
+        self._in_script = False
+
+    def handle_starttag(self, tag, attrs):
+        self._in_script = tag == "script"
+        if tag not in self.tags and tag != "base":
+            return
+        d = dict(attrs)
+        for t, a in self.pos:
+            if t == tag and d.get(a):
+                self.out.append(("ref", d[a]))
+        if tag == "base" and d.get("href"):
+            # <base href> rebases subsequent links (handle.go:144-146)
+            self.out.append(("base", d["href"]))
+
+    def handle_startendtag(self, tag, attrs):
+        self.handle_starttag(tag, attrs)
+        self._in_script = False
+
+    def handle_data(self, data):
+        if self.sniff & SNIFF_WINDOW_LOCATION and self._in_script:
+            self.out.append(("sniff_wl", data))
+        elif self.sniff & SNIFF_ABSOLUTE_URLS:
+            self.out.append(("sniff_abs", data))
+
+
+def extract_links(
+    html: Optional[str],
+    base: str,
+    positions=DEFAULT_POS,
+    sniff_flags: int = 0,
+) -> list[CanonResult]:
+    """Parse + resolve + canonicalize every configured link in order."""
+    if not html:
+        return []
+    p = _LinkParser(base, positions, sniff_flags)
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        pass  # lenient: tokenize as far as possible (html.Tokenizer spirit)
+    cur_base = base
+    out: list[CanonResult] = []
+    for kind, v in p.out:
+        if kind == "base":
+            c = resolve(cur_base, v)
+            if c.valid:
+                cur_base = c.url
+            continue
+        if kind == "sniff_wl":
+            out.extend(sniff_window_location(cur_base, v))
+            continue
+        if kind == "sniff_abs":
+            out.extend(sniff_absolute_urls(cur_base, v))
+            continue
+        # invalid links kept (valid=false) so callers can count rejections
+        out.append(resolve(cur_base, v))
+    return out
+
+
+def extractor_udf(positions=DEFAULT_POS, sniff_flags: int = 0):
+    """(base_url, html) columns → array<canon struct> (Arrow-batched)."""
+
+    @F.pandas_udf(ArrayType(_CANON_SCHEMA))
+    def _extract(base: pd.Series, html: pd.Series) -> pd.Series:
+        return pd.Series(
+            [extract_links(h, b, positions, sniff_flags) for b, h in zip(base, html)]
+        )
+
+    return _extract
+
+
+@dataclass
+class OriginPolicy:
+    """extract/extract.go:56-90 origin gates as declarative config."""
+
+    same_origin: bool = False  # scheme must match (http != https)
+    span_hosts: bool = False  # allow other hosts at all
+    sub_domain: bool = False  # same registered base domain allowed
+
+
+def registered_base(host: Column) -> Column:
+    """Last two labels of the host (extract.go:62-70 SubDomain rule)."""
+    return F.substring_index(host, ".", -2)
+
+
+def origin_filter(
+    links: DataFrame,
+    policy: OriginPolicy,
+    *,
+    page_scheme: str = "p_scheme",
+    page_host: str = "p_host",
+    link_scheme: str = "scheme",
+    link_host: str = "host_key",
+) -> DataFrame:
+    """Pure column predicates over exploded links — no UDF, no shuffle."""
+    keep = F.lit(True)
+    if policy.same_origin:
+        keep = keep & (F.col(link_scheme) == F.col(page_scheme))
+    if not policy.span_hosts:
+        keep = keep & (F.col(link_host) == F.col(page_host))
+    elif policy.sub_domain:
+        keep = keep & (
+            (F.col(link_host) == F.col(page_host))
+            | (registered_base(F.col(link_host)) == registered_base(F.col(page_host)))
+        )
+    return links.where(keep)

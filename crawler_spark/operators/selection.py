@@ -27,15 +27,18 @@ by any other finalized pop (all pushes carry avail ≥ e_min, and e_min
 never decreases across steps). Three modes:
 
 * ``exact`` — requires the engine's default ticket ``next_ms = avail_ms =
-  discovery time``. On every host with emit == e_min, finalize the maximal
-  per-host run (multi-pop; k-th pop at e_min + k·interval, the serial
-  re-keying of queue.go:239-243) of items with ``due < e_min OR (due ==
-  e_min AND prio == p_min)``. A fresh item is discovered at some finalized
-  emit ≥ e_min so it sorts strictly after every admitted item, and items
-  discovered at different virtual times never tie — so dense ``seq``
-  assignment stays in serial insertion order. Exactly reproduces the
-  serial oracle for any policy whose link score does not exceed its
-  parent's score (true of the reference's defaults and example policy).
+  discovery time``. On every host with emit == e_min, finalize the pops
+  that happen AT e_min: the full due run of an interval-0 host (its
+  re-key time stays e_min) but only the head of an interval>0 host —
+  pops at e_min + k·interval must not be finalized because a pop at any
+  t ≥ e_min can discover an item that emits (and claims seen-entries) at
+  an earlier virtual time than k·interval later. Admitted items satisfy
+  ``due < e_min OR (due == e_min AND prio == p_min)``: a fresh item is
+  discovered at some finalized emit ≥ e_min so it sorts strictly after
+  every admitted item, and claims are ordered by (p_emit, p_prio, p_seq,
+  ordinal) — the serial push order. Exactly reproduces the serial oracle
+  for any policy whose link score does not exceed its parent's score
+  (true of the reference's defaults and example policy).
 * ``fast`` — admits ``due == e_min`` items of any priority and caps
   multi-pop emits below e_next (the next head emit). Exact when all
   scores are equal; looser batching for throughput runs.
@@ -143,12 +146,27 @@ def select_batch(
         .where(F.col("rn") <= per_host_cap)
         .drop("_p_min")
     )
-    # k-th pop of a host happens one interval after the previous one
-    # (ratelimitq/queue.go:239-243 re-keys the host with Last=now per pop).
-    sel = sel.withColumn(
-        "pop_ms", F.lit(int(e_min)).cast("long") + (F.col("rn") - 1).cast("long") * F.col("_iv")
-    )
-    if mode == "fast":
+    if mode == "exact":
+        # Claims (first-writer-wins on fresh links) follow pop order, so a
+        # pop may only be finalized if no *unfinalized* pop — including
+        # pops of items this very batch will discover — can precede it. A
+        # discovery at time t can emit as early as t (fresh host, ready
+        # 0), so only pops AT e_min are finalizable: the full due run of
+        # an interval-0 host (its re-key time stays e_min,
+        # ratelimitq/queue.go:239-243), but only the head of an
+        # interval>0 host (its k-th pop at e_min + k·interval would race
+        # later-step discoveries at earlier virtual times — observed as a
+        # first-writer divergence in the politeness E2E test).
+        sel = sel.where((F.col("rn") == 1) | (F.col("_iv") == 0))
+        sel = sel.withColumn("pop_ms", F.lit(int(e_min)).cast("long"))
+    else:
+        # fast: per-host runs emit k·interval apart (the serial re-key
+        # schedule), capped below the next head emit — exact only when
+        # links don't matter (static frontier) or scores are uniform.
+        sel = sel.withColumn(
+            "pop_ms",
+            F.lit(int(e_min)).cast("long") + (F.col("rn") - 1).cast("long") * F.col("_iv"),
+        )
         e_next_row = heads.where(F.col("emit_ms") > e_min).agg(F.min("emit_ms")).first()
         e_next = int(e_next_row[0]) if e_next_row[0] is not None else INF
         sel = sel.where((F.col("pop_ms") == e_min) | (F.col("pop_ms") < e_next))

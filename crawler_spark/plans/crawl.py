@@ -89,18 +89,43 @@ HOST_POLICY_SCHEMA = StructType([
 ])
 
 
-def _release_checkpoint(df: Optional[DataFrame]) -> None:
-    """Free the blocks of a localCheckpoint'ed DataFrame.
+def _checkpoint(df: DataFrame) -> DataFrame:
+    """Materialize + cut lineage AND cut statistics.
 
-    ``Dataset.localCheckpoint`` persists an RDD that only ContextCleaner
-    reclaims (after a JVM GC). An iterative loop that re-checkpoints state
-    every step must release the previous generation explicitly or the
+    ``Dataset.localCheckpoint`` preserves the optimized plan's size
+    statistics on the resulting LogicalRDD. In an iterative loop whose
+    state is built from joins over the previous state, Catalyst's
+    size-only join estimation then *multiplies* those preserved stats
+    step over step — the sizeInBytes BigInt doubles in bit-length every
+    step, and by step ~20 planning burns minutes inside
+    BigInteger.multiply (measured: step latency 3.4s → 50s between steps
+    12 and 20). Rebuilding the frame from the checkpointed internal RDD
+    drops the poisoned stats (leaf reverts to defaultSizeInBytes, a
+    constant). Broadcast decisions don't regress: the loop broadcasts
+    its small sides explicitly.
+    """
+    spark = df.sparkSession
+    ck = df.localCheckpoint(eager=True)
+    jrdd = ck._jdf.queryExecution().toRdd()
+    jschema = spark._jvm.org.apache.spark.sql.types.DataType.fromJson(ck.schema.json())
+    out = DataFrame(spark._jsparkSession.internalCreateDataFrame(jrdd, jschema, False), spark)
+    out._ckpt_source = ck  # handle for _release_checkpoint
+    return out
+
+
+def _release_checkpoint(df: Optional[DataFrame]) -> None:
+    """Free the blocks of a ``_checkpoint``'ed DataFrame.
+
+    The checkpoint's persisted RDD is only reclaimed by ContextCleaner
+    after a JVM GC; an iterative loop that re-checkpoints state every
+    step must release the previous generation explicitly or the
     driver/executor heap fills with dead checkpoint + broadcast blocks.
     """
     if df is None:
         return
+    src = getattr(df, "_ckpt_source", df)
     try:
-        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        src._jdf.queryExecution().analyzed().rdd().unpersist(False)
     except Exception:
         pass  # plan is not a LogicalRDD (never checkpointed) — nothing to free
 
@@ -189,9 +214,9 @@ class CrawlEngine:
             "host_key", F.lit(None).cast("long").alias("last_ms"), "interval_ms"
         )
         n_invalid = c.where(~F.col("valid")).count()
-        frontier = frontier.localCheckpoint(eager=True)
+        frontier = _checkpoint(frontier)
         seq_base = frontier.count()
-        return frontier, seen.localCheckpoint(eager=True), host_state.localCheckpoint(eager=True), seq_base, n_invalid
+        return frontier, _checkpoint(seen), _checkpoint(host_state), seq_base, n_invalid
 
     # ------------------------------------------------------------------ #
     def _web_cols(self):
@@ -380,9 +405,9 @@ class CrawlEngine:
             raise RuntimeError("no snapshot to resume from")
         frames = self.store.load(self.spark, m["step"])
         return self._loop(
-            frames["frontier"].localCheckpoint(eager=True),
-            frames["seen"].localCheckpoint(eager=True),
-            frames["host_state"].localCheckpoint(eager=True),
+            _checkpoint(frames["frontier"]),
+            _checkpoint(frames["seen"]),
+            _checkpoint(frames["host_state"]),
             m["seq_base"],
             step0=m["step"],
             pops0=m["pops"],
@@ -406,19 +431,20 @@ class CrawlEngine:
             )
             if sel.selected is None:
                 break  # frontier drained — IsFinished (store.go:145-149)
-            selected = sel.selected.localCheckpoint(eager=True)
+            selected = _checkpoint(sel.selected)
             sel.release()
             n_sel = selected.count()
             if n_sel == 0:
                 raise RuntimeError(f"liveness violation: no pop at e_min={sel.e_min}")
 
-            fetched = self._fetch(selected, seen).localCheckpoint(eager=True)
+            fetched = _checkpoint(self._fetch(selected, seen))
             step += 1
             pops += n_sel
 
             # emitted log (idempotent per-step dir → exact resume)
+            # `step` comes from the partition directory name on read
             fetched.select(
-                F.lit(step).alias("step"), "emit_ms", "prio", "seq", "url",
+                "emit_ms", "prio", "seq", "url",
                 "host_key", "depth", "score", "status", "outcome",
             ).write.mode("overwrite").parquet(self._emit_dir(step))
 
@@ -429,7 +455,8 @@ class CrawlEngine:
                     "depth", "num_retry", "p_emit", "p_prio", "p_seq", "kind", "ordinal",
                 ).unionByName(self._self_items(fetched)),
                 seq_base,
-            ).localCheckpoint(eager=True)
+            )
+            items = _checkpoint(items)
             n_items = items.count()
             seq_base += n_items
 
@@ -437,10 +464,9 @@ class CrawlEngine:
             new_frontier_rows = items.select(
                 "url", "host_key", "next_ms", "avail_ms", "score", "prio", "seq", "depth", "num_retry"
             )
-            new_frontier = (
+            new_frontier = _checkpoint(
                 frontier.join(selected.select("seq"), "seq", "left_anti")
                 .unionByName(new_frontier_rows)
-                .localCheckpoint(eager=True)
             )
 
             mv = F.coalesce(F.col("hp_max_visits"), F.lit(p.max_visits))
@@ -483,8 +509,8 @@ class CrawlEngine:
                 seen.join(fetched.select("url"), "url", "left_anti")
                 .unionByName(upd)
                 .unionByName(fresh_seen)
-                .localCheckpoint(eager=True)
             )
+            new_seen = _checkpoint(new_seen)
 
             host_upd = selected.groupBy("host_key").agg(F.max("emit_ms").alias("new_last"))
             new_host_state = (
@@ -494,8 +520,8 @@ class CrawlEngine:
                     F.coalesce("new_last", "last_ms").cast("long").alias("last_ms"),
                     "interval_ms",
                 )
-                .localCheckpoint(eager=True)
             )
+            new_host_state = _checkpoint(new_host_state)
 
             counts = (
                 {r["outcome"]: r["count"] for r in fetched.groupBy("outcome").count().collect()}

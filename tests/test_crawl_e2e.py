@@ -22,7 +22,8 @@ from crawler_spark.plans.oracle import crawl_oracle
 from crawler_spark.sources.fixtures import synth_web
 
 
-def run_both(spark, tmp_path, fx, policy, mode="exact", max_pops=None, snapshot_every=0):
+def run_both(spark, tmp_path, fx, policy, mode="exact", max_pops=None, snapshot_every=0,
+             oracle_max_pops=None):
     engine = CrawlEngine(
         spark,
         fx.web_df(spark),
@@ -40,7 +41,7 @@ def run_both(spark, tmp_path, fx, policy, mode="exact", max_pops=None, snapshot_
         fx.oracle_host_policy(),
         policy=policy,
         ticket_at=policy.ticket_at,
-        max_pops=max_pops or 1_000_000,
+        max_pops=oracle_max_pops or max_pops or 1_000_000,
     )
     return got, want
 
@@ -122,9 +123,12 @@ def test_priority_policy_serial_mode(spark, tmp_path):
 
 
 def test_max_pops_truncation(spark, tmp_path, fx_small):
-    """Engine stopped early still matches the oracle prefix."""
+    """Engine stopped early still matches the (uncapped) oracle prefix.
+    The batched engine may overshoot max_pops by up to one step's batch."""
     policy = CrawlPolicy(max_depth=6, retry_delay_ms=60)
-    got, want = run_both(spark, tmp_path, fx_small, policy, max_pops=15)
+    got, want = run_both(
+        spark, tmp_path, fx_small, policy, max_pops=15, oracle_max_pops=1_000_000
+    )
     g = [(r["emit_ord"], r["url"]) for r in got.emitted.orderBy("emit_ord").collect()]
     w = [(e["emit_ord"], e["url"]) for e in want.emitted]
     assert len(g) >= 15

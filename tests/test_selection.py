@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from crawler_spark.config import CrawlPolicy
 from crawler_spark.operators.selection import select_batch
-from crawler_spark.plans.crawl import FRONTIER_SCHEMA, HOST_STATE_SCHEMA
+from crawler_spark.plans.crawl import FRONTIER_SCHEMA, HOST_STATE_SCHEMA, _checkpoint
 
 
 def drain(spark, items, host_intervals=None, default_interval_ms=0, mode="exact"):
@@ -33,11 +33,11 @@ def drain(spark, items, host_intervals=None, default_interval_ms=0, mode="exact"
         )
         if sel.selected is None:
             break
-        got = sel.selected.localCheckpoint(eager=True)
+        got = _checkpoint(sel.selected)
         sel.release()
         batch = got.collect()
         out.extend(sorted(batch, key=lambda r: (r["emit_ms"], r["prio"], r["seq"])))
-        frontier = frontier.join(got.select("seq"), "seq", "left_anti").localCheckpoint(eager=True)
+        frontier = _checkpoint(frontier.join(got.select("seq"), "seq", "left_anti"))
         upd = got.groupBy("host_key").agg(F.max("emit_ms").alias("new_last"))
         host_state = (
             host_state.join(upd, "host_key", "full")
@@ -46,8 +46,8 @@ def drain(spark, items, host_intervals=None, default_interval_ms=0, mode="exact"
                 F.coalesce("new_last", "last_ms").cast("long").alias("last_ms"),
                 "interval_ms",
             )
-            .localCheckpoint(eager=True)
         )
+        host_state = _checkpoint(host_state)
     return out
 
 

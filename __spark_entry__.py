@@ -278,7 +278,10 @@ def q_ngram_jaccard(spark, sf_dir):
     from crawler_spark.operators.dedup import ngram_jaccard_pairs
 
     d = _t(spark, sf_dir, "documents")
-    p = ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.8)
+    # max_shingle_freq mirrors the oracle SQL's df_ <= 1000 cap: ultra-
+    # common shingles dominate join fan-out and carry no discrimination
+    p = ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.8,
+                            max_shingle_freq=1000)
     return p.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -527,12 +530,16 @@ _NGRAM_JACCARD_SQL = """
 WITH nt AS (
   SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
   FROM documents
-), sh AS (
+), sh0 AS (
   SELECT DISTINCT doc_id, substr(t, CAST(i AS BIGINT), 3) AS sh
   FROM nt, UNNEST(range(1, greatest(length(t) - 1, 1))) AS u(i)
   WHERE length(t) >= 3
+), sh AS (
+  SELECT sh0.* FROM sh0
+  JOIN (SELECT sh, count(*) AS df_ FROM sh0 GROUP BY sh) f USING (sh)
+  WHERE f.df_ <= 1000
 ), sizes AS (
-  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+  SELECT doc_id, count(*) AS n_sh FROM sh0 GROUP BY doc_id
 ), inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
   FROM sh a JOIN sh b USING (sh)

@@ -2,13 +2,25 @@
 levels (the sandbox stand-in for N vs 4N executors — BASELINE.md §
 measurement protocol).
 
-Runs the crawl superstep loop and a shuffle-heavy operator suite at
-local[N] and local[4N] in *separate JVMs* (fresh SparkSession each, so
-pools don't interfere), reports throughput at both plus scaling
-efficiency = (thr_4N / thr_N) / 4.
+Each level runs in a fresh JVM pinned to exactly that many physical
+cores (taskset), so "local[8]" really means an 8-core machine — JVM GC
+threads and Python UDF workers share the pinned set just as they share
+an executor host on a real cluster.
 
-Usage: python tools/scaling_bench.py [--n 8] [--sf-dir /root/testdata/sf0.1]
-Writes one JSON line to stdout and appends a markdown row to BENCH.md.
+Legs (min of 3 repetitions each):
+
+  A. **canon-udf** — 10M URL resolve+canonicalize through the Arrow
+     pandas UDF: the crawl tick's hot Python path.
+  B. **tick-kernel** — one superstep's data path over a synthesized 16M-URL
+     frontier across 400k hosts: politeness selection (per-host agg +
+     rank window) + first-writer dedupe + exact anti-join.
+  C. **shuffle-agg** — 100M-row host-metrics rollup (C8 at scale).
+  D. **crawl loop (context)** — the full superstep loop at sandbox scale;
+     dominated by per-step scheduling latency, reported for context only
+     (see BENCH.md caveats), not a scaling claim.
+
+Usage: python tools/scaling_bench.py [--n 8] [--sf-dir ...]
+Prints one JSON line; appends a row to BENCH.md.
 """
 
 from __future__ import annotations
@@ -25,30 +37,90 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = r"""
 import json, os, sys, tempfile, time
 sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F, Window
 from crawler_spark.session import get_spark
 from crawler_spark.config import CrawlPolicy
-from crawler_spark.plans.crawl import CrawlEngine
+from crawler_spark.operators.ordering import prio_col
+from crawler_spark.operators.selection import select_batch
+from crawler_spark.plans.crawl import CrawlEngine, HOST_STATE_SCHEMA
+from crawler_spark.functions.urlnorm import resolve_links_udf
 import __spark_entry__ as entrymod
 
-cpus = int(sys.argv[1])
-sf_dir = sys.argv[2]
+cpus = int(sys.argv[1]); sf_dir = sys.argv[2]
 spark = get_spark(app_name=f"scaling-{{cpus}}", master=f"local[{{cpus}}]",
-                  shuffle_partitions=cpus)
+                  shuffle_partitions=32,
+                  extra_conf={{
+                      "spark.sql.adaptive.coalescePartitions.enabled": "false",
+                      "spark.sql.execution.arrow.maxRecordsPerBatch": "50000",
+                  }})
 spark.sparkContext.setLogLevel("ERROR")
 
-# operator suite (shuffle/window/UDF heavy subset)
-qs = entrymod.queries()
-suite = ["politeness_budget", "dedup_exact", "minhash_near_dups", "simhash",
-         "sessionize", "lineitem_rollup", "url_canonicalize"]
-# JVM+python-worker warmup so fixed startup cost doesn't pollute scaling
-qs["frontier_topk"](spark, sf_dir).count()
+N_FRONTIER = 16_000_000
+N_HOSTS = 400_000
+N_URLS = 5_000_000  # x2 refs per row = 10M canonicalizations
 
-t0 = time.time()
-for name in suite:
-    qs[name](spark, sf_dir).count()
-suite_sec = time.time() - t0
+def best(fn, reps=3):
+    times = []
+    for _ in range(reps):
+        t0 = time.time(); fn(); times.append(time.time() - t0)
+    return min(times)
 
-web, seeds = entrymod._derived_web(spark, sf_dir, n_events=5000)
+# warmup: JVM + codegen + python workers
+spark.range(1_000_000, numPartitions=cpus).select(F.xxhash64("id")).count()
+spark.range(1000).select(resolve_links_udf(F.lit("http://w.test/"), F.array(F.lit("a")))).count()
+
+# ---- leg A: canonicalize UDF ------------------------------------------
+links = spark.range(N_URLS, numPartitions=64).select(
+    F.concat(F.lit("http://h"), (F.col("id") % 1000).cast("string"), F.lit(".test/")).alias("base"),
+    F.array(F.concat(F.lit("P"), F.col("id").cast("string"), F.lit("#f")),
+            F.lit("//X.TEST:80/q")).alias("refs"))
+canon_sec = best(lambda: links.select(
+    F.explode(resolve_links_udf("base", "refs"))).agg(F.count("*")).collect())
+
+# ---- leg B: tick kernel ------------------------------------------------
+frontier = spark.range(N_FRONTIER, numPartitions=32).select(
+    F.concat(F.lit("http://h"), (F.col("id") % N_HOSTS).cast("string"),
+             F.lit(".test/p"), F.col("id").cast("string")).alias("url"),
+    F.concat(F.lit("h"), (F.col("id") % N_HOSTS).cast("string"),
+             F.lit(".test")).alias("host_key"),
+    F.lit(0).cast("long").alias("next_ms"),
+    F.lit(0).cast("long").alias("avail_ms"),
+    F.lit(0).alias("score"),
+    prio_col(F.lit(0)).alias("prio"),
+    F.col("id").alias("seq"),
+    F.lit(0).alias("depth"),
+    F.lit(0).alias("num_retry"),
+).persist()
+frontier.count()
+seen = frontier.select("url").persist(); seen.count()
+host_state = spark.createDataFrame([], HOST_STATE_SCHEMA)
+cand = spark.range(8_000_000, numPartitions=32).select(
+    F.concat(F.lit("http://h"), ((F.col("id") * 13) % N_HOSTS).cast("string"),
+             F.lit(".test/p"), ((F.col("id") * 7) % (N_FRONTIER * 2)).cast("string")).alias("url"),
+    F.col("id").alias("p_seq"),
+)
+
+def tick():
+    sel = select_batch(frontier, host_state, mode="exact", per_host_cap=1 << 22)
+    sel.selected.count()
+    sel.release()
+    w = Window.partitionBy("url").orderBy("p_seq")
+    (cand.withColumn("rn", F.row_number().over(w)).where("rn = 1")
+     .join(seen, "url", "left_anti").count())
+
+tick_sec = best(tick)
+
+# ---- leg C: shuffle agg ------------------------------------------------
+ev = spark.range(100_000_000, numPartitions=32).select(
+    (F.col("id") % N_HOSTS).alias("host"), (F.col("id") % 997).cast("double").alias("v"))
+agg_sec = best(lambda: ev.groupBy("host").agg(
+    F.count("*").alias("n"), F.sum("v").alias("s"), F.max("v").alias("m"))
+    .agg(F.count("*")).collect())
+
+frontier.unpersist(); seen.unpersist()
+
+# ---- leg D: crawl loop (context only) ----------------------------------
+web, _ = entrymod._derived_web(spark, sf_dir, n_events=5000)
 web = web.persist(); web.count()
 seeds = [r["url"] for r in web.orderBy("url").limit(10).collect()]
 t0 = time.time()
@@ -60,10 +132,16 @@ eng = CrawlEngine(spark, web,
 res = eng.run(seeds)
 res.emitted.count()
 crawl_sec = time.time() - t0
-print(json.dumps(dict(cpus=cpus, suite_sec=round(suite_sec, 2),
-                      crawl_sec=round(crawl_sec, 2), pops=res.pops,
-                      steps=res.steps,
-                      urls_per_sec=round(res.pops / crawl_sec, 2))))
+
+print(json.dumps(dict(
+    cpus=cpus,
+    canon_sec=round(canon_sec, 2),
+    canon_urls_per_sec=round(N_URLS * 2 / canon_sec, 0),
+    tick_sec=round(tick_sec, 2),
+    agg_sec=round(agg_sec, 2),
+    crawl_sec=round(crawl_sec, 2), pops=res.pops,
+    loop_urls_per_sec=round(res.pops / crawl_sec, 2),
+)))
 """
 
 
@@ -71,10 +149,8 @@ def run_level(cpus: int, sf_dir: str) -> dict:
     with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
         f.write(WORKER.format(repo=REPO))
         path = f.name
-    out = subprocess.run(
-        [sys.executable, path, str(cpus), sf_dir],
-        capture_output=True, text=True, timeout=3600,
-    )
+    cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, path, str(cpus), sf_dir]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
     os.unlink(path)
     lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
     if not lines:
@@ -90,20 +166,21 @@ def main():
 
     lo = run_level(args.n, args.sf_dir)
     hi = run_level(args.n * 4, args.sf_dir)
-    eff_crawl = (hi["urls_per_sec"] / lo["urls_per_sec"]) / 4
-    eff_suite = (lo["suite_sec"] / hi["suite_sec"]) / 4
+    eff = lambda a, b: round((a / b) / 4, 3)
     result = dict(
-        sf_dir=args.sf_dir, n=args.n,
-        low=lo, high=hi,
-        scaling_efficiency_crawl=round(eff_crawl, 3),
-        scaling_efficiency_suite=round(eff_suite, 3),
+        sf_dir=args.sf_dir, n=args.n, low=lo, high=hi,
+        scaling_efficiency_canon=eff(lo["canon_sec"], hi["canon_sec"]),
+        scaling_efficiency_tick=eff(lo["tick_sec"], hi["tick_sec"]),
+        scaling_efficiency_agg=eff(lo["agg_sec"], hi["agg_sec"]),
     )
     print(json.dumps(result))
 
     md = (
-        f"| {os.path.basename(args.sf_dir)} | local[{args.n}] | local[{args.n * 4}] "
-        f"| {lo['urls_per_sec']} | {hi['urls_per_sec']} | {result['scaling_efficiency_crawl']} "
-        f"| {lo['suite_sec']}s | {hi['suite_sec']}s | {result['scaling_efficiency_suite']} |\n"
+        f"| {os.path.basename(args.sf_dir)} | local[{args.n}]→local[{args.n * 4}] "
+        f"| {lo['canon_sec']}s → {hi['canon_sec']}s ({result['scaling_efficiency_canon']}) "
+        f"| {lo['tick_sec']}s → {hi['tick_sec']}s ({result['scaling_efficiency_tick']}) "
+        f"| {lo['agg_sec']}s → {hi['agg_sec']}s ({result['scaling_efficiency_agg']}) "
+        f"| {lo['loop_urls_per_sec']} → {hi['loop_urls_per_sec']} |\n"
     )
     with open(os.path.join(REPO, "BENCH.md"), "a") as f:
         f.write(md)

@@ -166,6 +166,18 @@ class CrawlEngine:
             host_policy = spark.createDataFrame([], HOST_POLICY_SCHEMA)
         self.host_policy = host_policy.persist()
         self.metrics: list[dict] = []
+        # M5: sharded bloom prefilter in front of the exact seen anti-join
+        # (never rejects alone — storage/boltstore's bloom-only Exist can
+        # drop URLs; the north rule demands the exact set)
+        self.bloom = None
+        if policy.bloom_prefilter:
+            from crawler_spark.operators.bloom import BloomShards, optimal_k
+
+            self.bloom = BloomShards(
+                policy.bloom_shards,
+                policy.bloom_bits_per_shard,
+                optimal_k(policy.bloom_bits_per_shard, 1_000_000 // policy.bloom_shards),
+            )
         # 0 = no per-step metric jobs (throughput runs); 1 = per-step
         # outcome/link counters (C8 metrics, extra Spark jobs per step)
         self.metrics_level = metrics_level
@@ -216,9 +228,21 @@ class CrawlEngine:
         n_invalid = c.where(~F.col("valid")).count()
         frontier = _checkpoint(frontier)
         seq_base = frontier.count()
+        self._bloom_add(frontier)
         return frontier, _checkpoint(seen), _checkpoint(host_state), seq_base, n_invalid
 
     # ------------------------------------------------------------------ #
+    def _bloom_add(self, df: DataFrame) -> None:
+        """Fold newly-seen URL hashes into the bloom shards (tick-sized
+        collect of 8-byte hashes; shards re-broadcast lazily)."""
+        if self.bloom is None:
+            return
+        import numpy as np
+
+        hashes = [r[0] for r in df.select(F.xxhash64("url")).collect()]
+        if hashes:
+            self.bloom.add_hashes(np.array(hashes, dtype=np.int64))
+
     def _web_cols(self):
         web = self.web
         src = web.select(
@@ -322,9 +346,12 @@ class CrawlEngine:
         # claims the URL and assigns its depth (handle.go:108-111).
         w = Window.partitionBy("url").orderBy("p_emit", "p_prio", "p_seq", "ordinal")
         good = good.withColumn("rn1", F.row_number().over(w)).where("rn1 = 1").drop("rn1", "path", "p_host")
-        # exact URL-seen anti-join (north rule: exact set; bloom is only a
-        # prefilter and is applied by the caller when enabled)
-        fresh = good.join(seen.select("url"), "url", "left_anti")
+        # exact URL-seen anti-join (north rule: exact set); with bloom
+        # enabled, proven-fresh rows skip the shuffle probe (M5)
+        if self.bloom is not None:
+            fresh = self.bloom.prefilter_fresh(good, seen.select("url"))
+        else:
+            fresh = good.join(seen.select("url"), "url", "left_anti")
         fresh = (
             fresh.withColumn("score", F.expr(p.score_expr).cast("int"))
             .withColumn("prio", prio_col(F.col("score")))
@@ -404,6 +431,7 @@ class CrawlEngine:
         if m is None:
             raise RuntimeError("no snapshot to resume from")
         frames = self.store.load(self.spark, m["step"])
+        self._bloom_add(frames["seen"])  # rebuild prefilter from snapshot
         return self._loop(
             _checkpoint(frames["frontier"]),
             _checkpoint(frames["seen"]),
@@ -459,6 +487,7 @@ class CrawlEngine:
             items = _checkpoint(items)
             n_items = items.count()
             seq_base += n_items
+            self._bloom_add(items.where("kind = 0"))
 
             # ---- state updates ----------------------------------------
             new_frontier_rows = items.select(

@@ -1,0 +1,32 @@
+"""Bloom prefilter wired into the engine must preserve exactness (M5:
+the bloom never rejects alone — false positives only cost an extra
+probe, never correctness)."""
+
+from crawler_spark.config import CrawlPolicy
+from crawler_spark.plans.crawl import CrawlEngine
+from crawler_spark.plans.oracle import crawl_oracle
+from crawler_spark.sources.fixtures import synth_web
+
+
+def test_bloom_crawl_matches_oracle(spark, tmp_path):
+    fx = synth_web(n_pages=40, n_hosts=4, seed=42)
+    policy = CrawlPolicy(
+        max_depth=5, retry_delay_ms=60,
+        bloom_prefilter=True, bloom_shards=4, bloom_bits_per_shard=1 << 16,
+    )
+    eng = CrawlEngine(
+        spark, fx.web_df(spark), host_policy=fx.host_policy_df(spark),
+        policy=policy, workdir=str(tmp_path / "work"),
+    )
+    assert eng.bloom is not None
+    got = eng.run(fx.seeds)
+    want = crawl_oracle(
+        fx.seeds, fx.oracle_web(), fx.oracle_host_policy(), policy=policy,
+        ticket_at=policy.ticket_at,
+    )
+    g = [(r["emit_ord"], r["url"], r["emit_ms"]) for r in got.emitted.orderBy("emit_ord").collect()]
+    w = [(e["emit_ord"], e["url"], e["emit_ms"]) for e in want.emitted]
+    assert g == w
+    g_seen = {r["url"]: (r["depth"], r["done"]) for r in got.seen.collect()}
+    w_seen = {u: (s.depth, s.done) for u, s in want.seen.items()}
+    assert g_seen == w_seen

@@ -57,7 +57,6 @@ def main() -> None:
         "dedup_exact",
         "minhash_near_dups",
         "simhash",
-        "ngram_jaccard",
         "ann_cosine_topk",
         "text_stats",
         "quality_filter",

@@ -166,6 +166,10 @@ class CrawlEngine:
             host_policy = spark.createDataFrame([], HOST_POLICY_SCHEMA)
         self.host_policy = host_policy.persist()
         self.metrics: list[dict] = []
+        from concurrent.futures import ThreadPoolExecutor
+
+        # concurrent job submission for the independent per-step actions
+        self._pool = ThreadPoolExecutor(max_workers=4)
         # M5: sharded bloom prefilter in front of the exact seen anti-join
         # (never rejects alone — storage/boltstore's bloom-only Exist can
         # drop URLs; the north rule demands the exact set)
@@ -469,12 +473,15 @@ class CrawlEngine:
             step += 1
             pops += n_sel
 
-            # emitted log (idempotent per-step dir → exact resume)
+            # emitted log (idempotent per-step dir → exact resume);
+            # runs concurrently with link extraction — independent jobs.
             # `step` comes from the partition directory name on read
-            fetched.select(
-                "emit_ms", "prio", "seq", "url",
-                "host_key", "depth", "score", "status", "outcome",
-            ).write.mode("overwrite").parquet(self._emit_dir(step))
+            emit_future = self._pool.submit(
+                lambda: fetched.select(
+                    "emit_ms", "prio", "seq", "url",
+                    "host_key", "depth", "score", "status", "outcome",
+                ).write.mode("overwrite").parquet(self._emit_dir(step))
+            )
 
             fresh, link_stats = self._extract_links(fetched, seen)
             items = self._assign_seq(
@@ -493,10 +500,9 @@ class CrawlEngine:
             new_frontier_rows = items.select(
                 "url", "host_key", "next_ms", "avail_ms", "score", "prio", "seq", "depth", "num_retry"
             )
-            new_frontier = _checkpoint(
-                frontier.join(selected.select("seq"), "seq", "left_anti")
-                .unionByName(new_frontier_rows)
-            )
+            new_frontier_plan = frontier.join(
+                selected.select("seq"), "seq", "left_anti"
+            ).unionByName(new_frontier_rows)
 
             mv = F.coalesce(F.col("hp_max_visits"), F.lit(p.max_visits))
             upd = fetched.join(
@@ -539,7 +545,6 @@ class CrawlEngine:
                 .unionByName(upd)
                 .unionByName(fresh_seen)
             )
-            new_seen = _checkpoint(new_seen)
 
             host_upd = selected.groupBy("host_key").agg(F.max("emit_ms").alias("new_last"))
             new_host_state = (
@@ -550,7 +555,17 @@ class CrawlEngine:
                     "interval_ms",
                 )
             )
-            new_host_state = _checkpoint(new_host_state)
+            # the three state updates are independent — materialize them as
+            # concurrent Spark jobs (the driver loop's fixed latency is the
+            # sandbox-scale throughput bound; on a cluster these jobs also
+            # overlap their shuffles)
+            f_fut = self._pool.submit(_checkpoint, new_frontier_plan)
+            s_fut = self._pool.submit(_checkpoint, new_seen)
+            h_fut = self._pool.submit(_checkpoint, new_host_state)
+            new_frontier = f_fut.result()
+            new_seen = s_fut.result()
+            new_host_state = h_fut.result()
+            emit_future.result()
 
             counts = (
                 {r["outcome"]: r["count"] for r in fetched.groupBy("outcome").count().collect()}

@@ -319,6 +319,18 @@ def q_ann_srp_topk(spark, sf_dir):
     return res.select(F.col("id").alias("vec_id"), F.round("score", 4).alias("score"))
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k (deterministic mini-k-means index; probes
+    nprobe nearest cells — the partition-pruning scale path)."""
+    from crawler_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qrow = emb.orderBy("vec_id").select("embedding").first()
+    res = ivf_topk(emb, "vec_id", "embedding", list(qrow["embedding"]), 10,
+                   n_centroids=8, nprobe=4)
+    return res.select(F.col("id").alias("vec_id"), F.round("score", 4).alias("score"))
+
+
 def q_embedding_dup_pairs(spark, sf_dir):
     """Exact brute-force cosine≥τ pairs (the oracle-checkable face of the
     SRP-bucketed near-dup operator)."""
@@ -347,6 +359,46 @@ def q_mm_payload_stats(spark, sf_dir):
         "doc_id",
         F.octet_length(payload).alias("n_bytes"),
         (F.octet_length(payload) - F.length("text")).alias("n_multibyte_extra"),
+    )
+
+
+def q_urltrie_census(spark, sf_dir):
+    """L8 — crawl-trap guard census: per-(host, prefix) distinct-child
+    fan-out over events-derived URLs, thresholded by depth."""
+    from crawler_spark.operators.urltrie import trap_prefixes
+
+    ev = _t(spark, sf_dir, "events")
+    urls = ev.select(
+        F.concat(
+            F.lit("http://u"), F.col("user_id").cast("string"), F.lit(".events.test/"),
+            F.col("event_type"), F.lit("/"), F.col("event_id").cast("string"),
+        ).alias("url"),
+        F.concat(F.lit("u"), F.col("user_id").cast("string"), F.lit(".events.test")).alias("host_key"),
+    )
+    return trap_prefixes(
+        urls, "CASE WHEN depth = 1 THEN 6 ELSE 5 END", exact=True
+    ).select("host", "depth", "prefix", "n_children")
+
+
+def q_cache_route(spark, sf_dir):
+    """S5 — RFC freshness routing (hit/revalidate/miss) over a cache
+    table synthesized from orders."""
+    from crawler_spark.operators.cache import cache_route_col
+
+    NOW_MS = 883_612_800_000  # 1998-01-01 UTC
+    od = _t(spark, sf_dir, "orders")
+    c = od.select(
+        "o_orderkey",
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("fetched_ms"),
+        F.lit(0).cast("long").alias("age_ms"),
+        F.when(F.col("o_orderstatus") == "O", F.lit(157_680_000_000).cast("long"))
+        .otherwise(F.lit(0).cast("long")).alias("max_age_ms"),
+        F.when(F.col("o_totalprice") > 200_000.0, F.lit("e")).alias("etag"),
+        F.lit(None).cast("long").alias("last_modified_ms"),
+        F.col("o_orderpriority").startswith("1").alias("need_validate"),
+    )
+    return c.withColumn("cache_route", cache_route_col(NOW_MS)).select(
+        "o_orderkey", "cache_route"
     )
 
 
@@ -458,8 +510,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_srp_topk": q_ann_srp_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "mm_payload_stats": q_mm_payload_stats,
+        "urltrie_census": q_urltrie_census,
+        "cache_route": q_cache_route,
         "crawl_bfs": q_crawl_bfs,
     }
 
@@ -709,6 +764,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, octet_length(encode(text)) AS n_bytes, "
             "octet_length(encode(text)) - length(text) AS n_multibyte_extra "
             "FROM documents"
+        ),
+        "urltrie_census": (
+            "WITH u AS (SELECT 'u' || user_id || '.events.test' AS host, "
+            "event_type, CAST(event_id AS VARCHAR) AS eid FROM events) "
+            "SELECT host, 1 AS depth, '/' AS prefix, "
+            "count(DISTINCT event_type) AS n_children FROM u GROUP BY host "
+            "HAVING count(DISTINCT event_type) >= 6 "
+            "UNION ALL "
+            "SELECT host, 2 AS depth, '/' || event_type AS prefix, "
+            "count(DISTINCT eid) AS n_children FROM u GROUP BY host, event_type "
+            "HAVING count(DISTINCT eid) >= 5"
+        ),
+        "cache_route": (
+            "WITH c AS (SELECT o_orderkey, epoch_ms(o_orderdate) AS fetched_ms, "
+            "CASE WHEN o_orderstatus = 'O' THEN 157680000000 ELSE 0 END AS max_age_ms, "
+            "CASE WHEN o_totalprice > 200000.0 THEN 'e' END AS etag, "
+            "(o_orderpriority LIKE '1%') AS need_validate FROM orders) "
+            "SELECT o_orderkey, "
+            "CASE WHEN NOT need_validate AND (883612800000 - fetched_ms) < max_age_ms "
+            "THEN 'hit' WHEN etag IS NOT NULL THEN 'revalidate' ELSE 'miss' END "
+            "AS cache_route FROM c"
         ),
         # rows-only (no SQL-expressible oracle): minhash_near_dups, simhash,
         # ann_srp_topk (xxhash64-derived), crawl_bfs (iterative engine;

@@ -14,6 +14,8 @@ when the table is written partitioned/bucketed by ``bucket``.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -75,6 +77,81 @@ def srp_bucket(v: Column, *, bits: int = 12, seed: int = 42) -> Column:
         )
         acc = acc + F.when(proj > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
     return acc
+
+
+def _sq_dist(v: Column, cent: list[float]) -> Column:
+    c = F.array(*[F.lit(float(x)) for x in cent])
+    return F.aggregate(
+        F.zip_with(v, c, lambda a, b: (a - b) * (a - b)), F.lit(0.0), lambda s, x: s + x
+    )
+
+
+def ivf_assign(emb: DataFrame, id_col: str, vec_col: str, centroids: list[list[float]]) -> DataFrame:
+    """(id, v, centroid): nearest-centroid assignment as pure column
+    logic (argmin over k literal centroid arrays)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    e = emb.select(F.col(id_col).alias("id"), v.alias("v"))
+    dists = F.array(*[_sq_dist(F.col("v"), c) for c in centroids])
+    return e.withColumn("centroid", (F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+
+
+def ivf_train(
+    emb: DataFrame, id_col: str, vec_col: str, *, k: int = 16, iters: int = 2
+) -> list[list[float]]:
+    """Deterministic mini k-means: init = first k vectors by id, then
+    ``iters`` Lloyd steps computed with DataFrame aggregations (explode
+    by dimension → per-(centroid, dim) mean). k×dim floats come back to
+    the driver — the 'model' is tiny and ships as plan literals."""
+    cents = [
+        [float(x) for x in r[vec_col]]
+        for r in emb.orderBy(id_col).limit(k).collect()
+    ]
+    dim = len(cents[0])
+    for _ in range(iters):
+        assigned = ivf_assign(emb, id_col, vec_col, cents)
+        rows = (
+            assigned.select("centroid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("centroid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = {(r["centroid"], r["pos"]): r["m"] for r in rows}
+        cents = [
+            [new.get((ci, d), cents[ci][d]) for d in range(dim)] for ci in range(k)
+        ]
+    return cents
+
+
+def ivf_topk(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    *,
+    centroids: Optional[list[list[float]]] = None,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: score only vectors assigned to the
+    query's ``nprobe`` nearest centroids.
+
+    With the corpus written partitioned by ``centroid``, the scan prunes
+    to nprobe/k of the data; the probe-list is computed driver-side
+    (k×dim floats). Returns (id, score) by cosine."""
+    if centroids is None:
+        centroids = ivf_train(emb, id_col, vec_col, k=n_centroids)
+    q = [float(x) for x in query_vec]
+    d2 = [sum((a - b) ** 2 for a, b in zip(q, c)) for c in centroids]
+    probe = sorted(range(len(centroids)), key=lambda i: d2[i])[:nprobe]
+    assigned = ivf_assign(emb, id_col, vec_col, centroids)
+    qcol = F.array(*[F.lit(x) for x in q])
+    return (
+        assigned.where(F.col("centroid").isin(probe))
+        .select("id", cosine(F.col("v"), qcol).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(k)
+    )
 
 
 def ann_topk_srp(

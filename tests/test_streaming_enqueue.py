@@ -1,0 +1,52 @@
+"""Structured-Streaming enqueue (S2) tests: canonicalize → dedupe →
+ticket append, exactly-once via checkpoint."""
+
+import os
+
+from crawler_spark.streaming.enqueue import drain_enqueued, enqueue_stream
+
+
+def _write_seeds(drop_dir, name, urls):
+    tmp = os.path.join(drop_dir, f".{name}.tmp")
+    with open(tmp, "w") as f:
+        f.write("\n".join(urls) + "\n")
+    os.rename(tmp, os.path.join(drop_dir, name))
+
+
+def test_enqueue_stream_end_to_end(spark, tmp_path):
+    drop = str(tmp_path / "drop")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(drop)
+
+    seen = spark.createDataFrame([("http://seen.test/a",)], ["url"])
+    _write_seeds(drop, "batch1.txt", [
+        "http://new.test/x",
+        "HTTP://New.TEST:80/x#frag",     # canonical dup of the first
+        "http://seen.test/a",            # already seen → dropped
+        "ftp://bad.test/z",              # invalid scheme → dropped
+        "  ",                            # blank → dropped
+        "http://other.test/y",
+    ])
+    q = enqueue_stream(spark, drop, out, ckpt, lambda: seen, available_now=True)
+    q.awaitTermination(120)
+
+    got = drain_enqueued(spark, out)
+    rows = {r["url"]: r for r in got.collect()}
+    assert set(rows) == {"http://new.test/x", "http://other.test/y"}
+    r = rows["http://new.test/x"]
+    assert r["host_key"] == "new.test" and r["depth"] == 0 and r["prio"] == 999
+
+    # second drop: restart drains ONLY the new file (checkpoint = exactly once)
+    _write_seeds(drop, "batch2.txt", ["http://new2.test/z", "http://new.test/x"])
+    q2 = enqueue_stream(spark, drop, out, ckpt, lambda: seen, available_now=True)
+    q2.awaitTermination(120)
+    got2 = {r["url"] for r in drain_enqueued(spark, out).collect()}
+    # new.test/x appears once more (seen set didn't include it — engine-side
+    # frontier merge anti-joins again); no duplicate of batch1 contents
+    assert got2 == {"http://new.test/x", "http://other.test/y", "http://new2.test/z"}
+    assert drain_enqueued(spark, out).count() == 4  # 2 + 2 appended rows
+
+
+def test_drain_empty(spark, tmp_path):
+    assert drain_enqueued(spark, str(tmp_path / "missing")) is None

@@ -180,3 +180,29 @@ def test_lsh_bucket_cap_drops_degenerate(spark):
     sig = minhash_signatures(df, "doc_id", "text")
     pairs = lsh_candidate_pairs(sig, max_bucket=10)
     assert pairs.count() == 0
+
+
+def test_ivf_topk_matches_brute_force_on_clusters(spark):
+    """IVF with enough probes recovers the brute-force top-k on
+    well-clustered data; deterministic across runs."""
+    import random as rnd
+
+    from crawler_spark.operators.similarity import cosine_topk, ivf_topk, ivf_train
+
+    r = rnd.Random(3)
+    centers = [[r.gauss(0, 5) for _ in range(8)] for _ in range(4)]
+    rows = []
+    for i in range(200):
+        c = centers[i % 4]
+        rows.append((i, [float(x + r.gauss(0, 0.2)) for x in c]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = rows[0][1]
+
+    cents = ivf_train(emb, "vec_id", "embedding", k=4, iters=2)
+    assert cents == ivf_train(emb, "vec_id", "embedding", k=4, iters=2)  # deterministic
+
+    want = [r_["id"] for r_ in cosine_topk(emb, "vec_id", "embedding", q, 10).collect()]
+    got = [r_["id"] for r_ in ivf_topk(
+        emb, "vec_id", "embedding", q, 10, centroids=cents, nprobe=2
+    ).collect()]
+    assert got == want  # query's cluster fully covered by 2 probes

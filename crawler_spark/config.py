@@ -43,6 +43,10 @@ class CrawlPolicy:
     # --- politeness -------------------------------------------------------
     default_interval_ms: int = 0  # per-host crawl interval when host_policy has no row
     max_hosts: Optional[int] = None  # backpressure analog (ratelimitq MaxHosts); None = unbounded
+    # C6: per-host response budget — pops beyond it are cancelled in
+    # Prepare and completed without a fetch (make.go:56-62,
+    # schedule.go:94-101; example controller cancels busy hosts)
+    max_fetches_per_host: Optional[int] = None
 
     # --- Resched: revisit control ----------------------------------------
     max_visits: int = 1  # visits before done

@@ -79,6 +79,7 @@ HOST_STATE_SCHEMA = StructType([
     StructField("host_key", StringType()),
     StructField("last_ms", LongType()),
     StructField("interval_ms", LongType()),
+    StructField("n_resp", LongType()),  # C6 budget counter (fetch attempts)
 ])
 
 HOST_POLICY_SCHEMA = StructType([
@@ -227,7 +228,10 @@ class CrawlEngine:
             "seq",
         )
         host_state = self.host_policy.select(
-            "host_key", F.lit(None).cast("long").alias("last_ms"), "interval_ms"
+            "host_key",
+            F.lit(None).cast("long").alias("last_ms"),
+            "interval_ms",
+            F.lit(0).cast("long").alias("n_resp"),
         )
         n_invalid = c.where(~F.col("valid")).count()
         frontier = _checkpoint(frontier)
@@ -236,6 +240,28 @@ class CrawlEngine:
         return frontier, _checkpoint(seen), _checkpoint(host_state), seq_base, n_invalid
 
     # ------------------------------------------------------------------ #
+    def _tag_cancelled(self, selected: DataFrame, host_state: DataFrame) -> DataFrame:
+        """C6 host budget: pops past max_fetches_per_host are cancelled
+        in Prepare and complete without a fetch (make.go:56-62,
+        schedule.go:94-101). Within-batch rank follows emission order so
+        the budget boundary matches the serial schedule."""
+        b = self.policy.max_fetches_per_host
+        if b is None:
+            return selected.withColumn("cancelled", F.lit(False))
+        hs = host_state.select(
+            "host_key", F.coalesce("n_resp", F.lit(0)).alias("_n_resp")
+        )
+        w = Window.partitionBy("host_key").orderBy("emit_ms", "prio", "seq")
+        return (
+            selected.join(F.broadcast(hs), "host_key", "left")
+            .withColumn("_rk", F.row_number().over(w))
+            .withColumn(
+                "cancelled",
+                (F.coalesce("_n_resp", F.lit(0)) + F.col("_rk")) > F.lit(b),
+            )
+            .drop("_n_resp", "_rk")
+        )
+
     def _bloom_add(self, df: DataFrame) -> None:
         """Fold newly-seen URL hashes into the bloom shards (tick-sized
         collect of 8-byte hashes; shards re-broadcast lazily)."""
@@ -291,9 +317,13 @@ class CrawlEngine:
         links_arr = F.when(
             inject, F.concat(F.array(F.col("redirect_to")), eff_links)
         ).otherwise(eff_links)
-        f = f.withColumn("status", eff_status.cast("int")).withColumn(
+        f = f.withColumn(
+            "status",
+            F.when(F.col("cancelled"), F.lit(None)).otherwise(eff_status).cast("int"),
+        ).withColumn(
             "outcome",
-            F.when((F.col("status") >= 200) & (F.col("status") < 300), F.lit("ok"))
+            F.when(F.col("cancelled"), F.lit("cancel"))  # C6: Prepare-cancel
+            .when((F.col("status") >= 200) & (F.col("status") < 300), F.lit("ok"))
             .when(
                 (F.col("status") >= 500)
                 | ((F.col("status") >= 400) & (F.col("status") != 404))
@@ -463,7 +493,7 @@ class CrawlEngine:
             )
             if sel.selected is None:
                 break  # frontier drained — IsFinished (store.go:145-149)
-            selected = _checkpoint(sel.selected)
+            selected = _checkpoint(self._tag_cancelled(sel.selected, host_state))
             sel.release()
             n_sel = selected.count()
             if n_sel == 0:
@@ -546,13 +576,19 @@ class CrawlEngine:
                 .unionByName(fresh_seen)
             )
 
-            host_upd = selected.groupBy("host_key").agg(F.max("emit_ms").alias("new_last"))
+            host_upd = selected.groupBy("host_key").agg(
+                F.max("emit_ms").alias("new_last"),
+                F.sum(F.when(F.col("cancelled"), 0).otherwise(1)).alias("n_new_resp"),
+            )
             new_host_state = (
                 host_state.join(host_upd, "host_key", "full")
                 .select(
                     "host_key",
                     F.coalesce("new_last", "last_ms").cast("long").alias("last_ms"),
                     "interval_ms",
+                    (F.coalesce("n_resp", F.lit(0)) + F.coalesce("n_new_resp", F.lit(0)))
+                    .cast("long")
+                    .alias("n_resp"),
                 )
             )
             # the three state updates are independent — materialize them as

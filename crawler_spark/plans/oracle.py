@@ -98,6 +98,7 @@ def crawl_oracle(
     res = OracleResult()
     secondary: dict[str, list[Item]] = {}
     last_ms: dict[str, int] = {}
+    resp_count: dict[str, int] = {}  # C6 host budget counter
     seq_counter = 0
 
     def hp(host: str) -> HostPolicy:
@@ -152,6 +153,23 @@ def crawl_oracle(
         last_ms[host] = emit
 
         sr = res.seen[item.url]
+        # --- C6 host budget: cancel in Prepare, complete without fetch ----
+        if (
+            policy.max_fetches_per_host is not None
+            and resp_count.get(host, 0) >= policy.max_fetches_per_host
+        ):
+            res.emitted.append(
+                dict(
+                    emit_ord=len(res.emitted), url=item.url, host_key=host,
+                    depth=item.depth, emit_ms=emit, score=item.score,
+                    prio=item.prio, seq=item.seq, status=None, outcome="cancel",
+                )
+            )
+            sr.status = None
+            sr.done = True
+            continue
+        resp_count[host] = resp_count.get(host, 0) + 1
+
         # --- fetch (test semantics: join the web fixture) -----------------
         row = web.get(item.url)
         injected: list[str] = []

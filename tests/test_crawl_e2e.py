@@ -133,3 +133,19 @@ def test_max_pops_truncation(spark, tmp_path, fx_small):
     w = [(e["emit_ord"], e["url"]) for e in want.emitted]
     assert len(g) >= 15
     assert g == w[: len(g)]
+
+
+def test_host_budget_cancellation(spark, tmp_path):
+    """C6: pops beyond max_fetches_per_host are cancelled (complete
+    without fetch) — engine matches the serial oracle's budget boundary."""
+    fx = synth_web(n_pages=40, n_hosts=4, seed=42)
+    policy = CrawlPolicy(max_depth=6, retry_delay_ms=60, max_fetches_per_host=4)
+    got, want = run_both(spark, tmp_path, fx, policy)
+    assert_match(got, want)
+    cancelled = [r for r in got.emitted.collect() if r["outcome"] == "cancel"]
+    assert cancelled, "budget should trigger cancellations in this fixture"
+    per_host = {}
+    for r in got.emitted.collect():
+        if r["outcome"] != "cancel":
+            per_host[r["host_key"]] = per_host.get(r["host_key"], 0) + 1
+    assert all(n <= 4 for n in per_host.values())

@@ -24,7 +24,7 @@ def drain(spark, items, host_intervals=None, default_interval_ms=0, mode="exact"
         for (u, host, next_ms, score, seq) in items
     ]
     frontier = spark.createDataFrame(rows, FRONTIER_SCHEMA)
-    hs_rows = [(h, None, int(iv)) for h, iv in (host_intervals or {}).items()]
+    hs_rows = [(h, None, int(iv), 0) for h, iv in (host_intervals or {}).items()]
     host_state = spark.createDataFrame(hs_rows, HOST_STATE_SCHEMA)
     out = []
     for _ in range(100):
@@ -45,6 +45,7 @@ def drain(spark, items, host_intervals=None, default_interval_ms=0, mode="exact"
                 "host_key",
                 F.coalesce("new_last", "last_ms").cast("long").alias("last_ms"),
                 "interval_ms",
+                F.col("n_resp"),
             )
         )
         host_state = _checkpoint(host_state)

@@ -153,6 +153,7 @@ class CrawlEngine:
         max_steps: int = 100_000,
         max_pops: Optional[int] = None,
         metrics_level: int = 1,
+        enqueue_dir: Optional[str] = None,
     ):
         self.spark = spark
         self.web = web
@@ -162,6 +163,8 @@ class CrawlEngine:
         self.max_steps = max_steps
         self.max_pops = max_pops
         self.workdir = workdir
+        # S2: directory fed by streaming/enqueue.py; merged at tick starts
+        self.enqueue_dir = enqueue_dir
         self.store = SnapshotStore(workdir)
         if host_policy is None:
             host_policy = spark.createDataFrame([], HOST_POLICY_SCHEMA)
@@ -261,6 +264,48 @@ class CrawlEngine:
             )
             .drop("_n_resp", "_rk")
         )
+
+    def _merge_enqueued(self, frontier, seen, seq_base, step):
+        """S2: fold streamed-in tickets into frontier+seen at a tick
+        boundary (the batch analog of Enqueue feeding scheduler.NewIn,
+        crawler.go:143-158). Exactly-once: consumed parquet parts are
+        moved aside after materialization."""
+        from crawler_spark.streaming.enqueue import drain_enqueued
+
+        drained = drain_enqueued(self.spark, self.enqueue_dir)
+        if drained is None:
+            return frontier, seen, seq_base
+        w = Window.partitionBy("url").orderBy("url")
+        fresh = (
+            drained.withColumn("rn", F.row_number().over(w)).where("rn = 1").drop("rn")
+            .join(seen.select("url"), "url", "left_anti")
+        )
+        wseq = Window.orderBy("url")
+        fresh = _checkpoint(
+            fresh.withColumn(
+                "seq", (F.row_number().over(wseq) - 1 + F.lit(seq_base)).cast("long")
+            )
+        )
+        n = fresh.count()
+        if n:
+            frontier = _checkpoint(frontier.unionByName(fresh.select(*[f.name for f in FRONTIER_SCHEMA.fields])))
+            seen = _checkpoint(seen.unionByName(fresh.select(
+                "url", "host_key", "depth",
+                F.lit(False).alias("done"),
+                F.lit(None).cast("long").alias("last_ms"),
+                F.lit(None).cast("int").alias("status"),
+                F.lit(0).alias("num_visit"),
+                F.lit(0).alias("num_retry"),
+                "seq",
+            )))
+            self._bloom_add(fresh)  # bloom must cover ALL seen URLs
+        # move consumed part files aside (fresh/frontier already materialized)
+        consumed = os.path.join(self.workdir, "enqueue_consumed", f"step={step}")
+        os.makedirs(consumed, exist_ok=True)
+        for fn in os.listdir(self.enqueue_dir):
+            if fn.endswith(".parquet") or fn.startswith("part-"):
+                os.rename(os.path.join(self.enqueue_dir, fn), os.path.join(consumed, fn))
+        return frontier, seen, seq_base + n
 
     def _bloom_add(self, df: DataFrame) -> None:
         """Fold newly-seen URL hashes into the bloom shards (tick-sized
@@ -484,6 +529,10 @@ class CrawlEngine:
         while step < self.max_steps:
             if self.max_pops is not None and pops >= self.max_pops:
                 break
+            if self.enqueue_dir:
+                frontier, seen, seq_base = self._merge_enqueued(
+                    frontier, seen, seq_base, step
+                )
             sel = select_batch(
                 frontier,
                 host_state,

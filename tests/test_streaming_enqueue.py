@@ -50,3 +50,35 @@ def test_enqueue_stream_end_to_end(spark, tmp_path):
 
 def test_drain_empty(spark, tmp_path):
     assert drain_enqueued(spark, str(tmp_path / "missing")) is None
+
+
+def test_engine_merges_enqueued(spark, tmp_path):
+    """S2 integration: tickets streamed into the enqueue dir are folded
+    into the frontier at the next tick, deduped against seen, crawled."""
+    import os
+
+    from crawler_spark.config import CrawlPolicy
+    from crawler_spark.plans.crawl import CrawlEngine
+    from crawler_spark.sources.fixtures import synth_web
+    from crawler_spark.streaming.enqueue import enqueue_stream
+
+    fx = synth_web(n_pages=20, n_hosts=3, seed=15, error_rate=0.0, redirect_rate=0.0)
+    extra = [r["url"] for r in fx.rows[5:8]]  # mid-crawl enqueued pages
+    drop = str(tmp_path / "drop"); out = str(tmp_path / "enq"); ck = str(tmp_path / "ck")
+    os.makedirs(drop)
+    _write_seeds(drop, "s.txt", extra + ["ftp://bad/x"])
+    q = enqueue_stream(spark, drop, out, ck, lambda: None, available_now=True)
+    q.awaitTermination(120)
+
+    eng = CrawlEngine(
+        spark, fx.web_df(spark), host_policy=fx.host_policy_df(spark),
+        policy=CrawlPolicy(max_depth=0, obey_robots=False),  # no link expansion
+        workdir=str(tmp_path / "work"), enqueue_dir=out,
+    )
+    got = eng.run(fx.seeds[:1])
+    urls = {r["url"] for r in got.emitted.collect()}
+    for u in extra:
+        assert u in urls, f"enqueued {u} was not crawled"
+    # consumed files moved aside: a second run sees nothing new
+    from crawler_spark.streaming.enqueue import drain_enqueued
+    assert drain_enqueued(spark, out) is None

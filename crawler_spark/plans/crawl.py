@@ -379,6 +379,7 @@ class CrawlEngine:
         )
         return f.select(
             "url", "host_key", "depth", "score", "prio", "seq", "emit_ms",
+            "cancelled",
             "old_last_ms", "old_num_visit", "old_num_retry", "seen_seq",
             "status", "outcome",
             base_url.alias("base_url"), links_arr.alias("links_arr"),
@@ -542,15 +543,12 @@ class CrawlEngine:
             )
             if sel.selected is None:
                 break  # frontier drained — IsFinished (store.go:145-149)
-            selected = _checkpoint(self._tag_cancelled(sel.selected, host_state))
+            # the selection plan materializes once, inside fetched — no
+            # separate checkpoint/count jobs for the selected batch
+            selected_plan = self._tag_cancelled(sel.selected, host_state)
+            fetched = _checkpoint(self._fetch(selected_plan, seen))
             sel.release()
-            n_sel = selected.count()
-            if n_sel == 0:
-                raise RuntimeError(f"liveness violation: no pop at e_min={sel.e_min}")
-
-            fetched = _checkpoint(self._fetch(selected, seen))
             step += 1
-            pops += n_sel
 
             # emitted log (idempotent per-step dir → exact resume);
             # runs concurrently with link extraction — independent jobs.
@@ -571,7 +569,20 @@ class CrawlEngine:
                 seq_base,
             )
             items = _checkpoint(items)
-            n_items = items.count()
+            # one combined count job over the two checkpointed frames
+            cnt = {
+                r["t"]: r["n"]
+                for r in fetched.select(F.lit("s").alias("t"))
+                .unionAll(items.select(F.lit("i").alias("t")))
+                .groupBy("t")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            n_sel = cnt.get("s", 0)
+            n_items = cnt.get("i", 0)
+            if n_sel == 0:
+                raise RuntimeError(f"liveness violation: no pop at e_min={sel.e_min}")
+            pops += n_sel
             seq_base += n_items
             self._bloom_add(items.where("kind = 0"))
 
@@ -580,7 +591,7 @@ class CrawlEngine:
                 "url", "host_key", "next_ms", "avail_ms", "score", "prio", "seq", "depth", "num_retry"
             )
             new_frontier_plan = frontier.join(
-                selected.select("seq"), "seq", "left_anti"
+                fetched.select("seq"), "seq", "left_anti"
             ).unionByName(new_frontier_rows)
 
             mv = F.coalesce(F.col("hp_max_visits"), F.lit(p.max_visits))
@@ -625,7 +636,7 @@ class CrawlEngine:
                 .unionByName(fresh_seen)
             )
 
-            host_upd = selected.groupBy("host_key").agg(
+            host_upd = fetched.groupBy("host_key").agg(
                 F.max("emit_ms").alias("new_last"),
                 F.sum(F.when(F.col("cancelled"), 0).otherwise(1)).alias("n_new_resp"),
             )
@@ -659,7 +670,7 @@ class CrawlEngine:
             )
 
             # free the previous generation's checkpoint blocks + step frames
-            for old in (frontier, seen, host_state, selected, fetched, items):
+            for old in (frontier, seen, host_state, fetched, items):
                 _release_checkpoint(old)
             frontier, seen, host_state = new_frontier, new_seen, new_host_state
             if step % 20 == 0:

@@ -78,12 +78,23 @@ def select_batch(
     default_interval_ms: int = 0,
     mode: str = "exact",
     per_host_cap: int = 4096,
+    deferred: bool = False,
 ) -> Selection:
     """One politeness-selection step.
 
     frontier:   url, host_key, next_ms, avail_ms, score, prio, seq, depth…
     host_state: host_key, last_ms, interval_ms (absent host = never popped)
     Returns selected rows with ``emit_ms`` (their virtual pop timestamps).
+
+    ``deferred=True`` (exact mode only): the e_min scalar is folded into
+    the selection plan as a broadcast aggregate instead of a driver
+    ``first()`` — zero driver round-trips; Selection.e_min/n_hosts are
+    None and the empty-frontier case surfaces as an empty selected
+    batch (the caller disambiguates with one isEmpty probe at
+    termination). Trade-off (measured): in local mode the consumer's job
+    grows two broadcast-agg stages and ends up SLOWER than the .first()
+    round-trip; intended for high-latency clusters where a driver
+    round-trip costs a full job.
     """
     hs = host_state.select(
         "host_key",
@@ -104,6 +115,32 @@ def select_batch(
         .select("host_key", "ready_ms", "emit_ms", "_iv")
     )
     heads = heads.persist()
+    if deferred and mode == "exact":
+        emin_df = heads.agg(F.min("emit_ms").alias("_e_min"))
+        qual = (
+            heads.crossJoin(F.broadcast(emin_df))
+            .where(F.col("emit_ms") == F.col("_e_min"))
+            .select("host_key", "emit_ms", "_iv", "_e_min")
+        )
+        cand = frontier.join(qual, "host_key", "inner").where(due <= F.col("_e_min"))
+        w = Window.partitionBy("host_key").orderBy(
+            F.col("next_ms").asc(), F.col("prio").asc(), F.col("seq").asc()
+        )
+        pmin_df = cand.agg(F.min("prio").alias("_p_min"))
+        cand = cand.crossJoin(F.broadcast(pmin_df))
+        cond = (due < F.col("_e_min")) | (
+            (due == F.col("_e_min")) & (F.col("prio") == F.col("_p_min"))
+        )
+        sel = (
+            cand.where(cond)
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= per_host_cap)
+            .where((F.col("rn") == 1) | (F.col("_iv") == 0))
+            .withColumn("emit_ms", F.col("_e_min").cast("long"))
+            .drop("_p_min", "_e_min", "_iv")
+        )
+        return Selection(selected=sel, e_min=None, n_hosts=0, _heads=heads)
+
     agg = heads.agg(F.min("emit_ms").alias("e_min"), F.count("*").alias("n")).first()
     e_min, n_hosts = agg["e_min"], agg["n"]
     if n_hosts == 0:  # empty frontier — no separate isEmpty() job

@@ -534,12 +534,18 @@ class CrawlEngine:
                 frontier, seen, seq_base = self._merge_enqueued(
                     frontier, seen, seq_base, step
                 )
+            # deferred e_min folds the scalar into the plan (no driver
+            # round-trip) — measured SLOWER in local mode (the fetched job
+            # grows two broadcast-agg stages, outweighing the saved
+            # .first()); worth revisiting on a high-latency real cluster.
+            deferred = False
             sel = select_batch(
                 frontier,
                 host_state,
                 default_interval_ms=p.default_interval_ms,
                 mode=self.mode,
                 per_host_cap=p.per_host_batch_cap,
+                deferred=deferred,
             )
             if sel.selected is None:
                 break  # frontier drained — IsFinished (store.go:145-149)
@@ -581,6 +587,11 @@ class CrawlEngine:
             n_sel = cnt.get("s", 0)
             n_items = cnt.get("i", 0)
             if n_sel == 0:
+                if deferred and frontier.isEmpty():
+                    step -= 1  # empty tail step: frontier drained — IsFinished
+                    _release_checkpoint(fetched)
+                    _release_checkpoint(items)
+                    break
                 raise RuntimeError(f"liveness violation: no pop at e_min={sel.e_min}")
             pops += n_sel
             seq_base += n_items

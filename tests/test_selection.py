@@ -118,3 +118,27 @@ def test_multi_pop_batch_matches_serial(spark):
     got = drain(spark, items, host_intervals={"a.example.com": 10}, mode="exact")
     assert [r["emit_ms"] for r in got] == [i * 10 for i in range(10)]
     assert [int(r["url"].rsplit("/", 1)[1]) for r in got] == list(range(10))
+
+
+def test_deferred_selection_equals_eager(spark):
+    """deferred=True folds e_min into the plan; selected rows must be
+    identical to the eager path."""
+    items = [
+        ("http://a.example.com/1", "a.example.com", 10, 5, 0),
+        ("http://a.example.com/2", "a.example.com", 10, 9, 1),
+        ("http://b.example.com/3", "b.example.com", 10, 0, 2),
+        ("http://b.example.com/4", "b.example.com", 20, 0, 3),
+    ]
+    rows = [
+        (u, host, int(n), int(n), int(s), CrawlPolicy.prio_of(s), int(q), 0, 0)
+        for (u, host, n, s, q) in items
+    ]
+    frontier = spark.createDataFrame(rows, FRONTIER_SCHEMA)
+    hs = spark.createDataFrame([("a.example.com", None, 25, 0)], HOST_STATE_SCHEMA)
+    eager = select_batch(frontier, hs, mode="exact")
+    got_e = sorted(tuple(r) for r in eager.selected.drop("rn").collect())
+    eager.release()
+    deferred = select_batch(frontier, hs, mode="exact", deferred=True)
+    got_d = sorted(tuple(r) for r in deferred.selected.drop("rn").collect())
+    deferred.release()
+    assert got_e == got_d and len(got_e) > 0

@@ -30,6 +30,19 @@ from pyspark.sql import functions as F
 from crawler_spark.functions.text import char_shingles, fingerprint_md5
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Small inputs often arrive as 1-2 partitions (one parquet file per
+    table at test SFs); the explode stages below blow each row up ~500x,
+    so a single-partition source serializes megarows onto one core.
+    Repartition narrow inputs up to the cluster's parallelism — a
+    no-op at production scale where sources are already well-split."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 # --------------------------------------------------------------------- #
 # exact
 # --------------------------------------------------------------------- #
@@ -62,6 +75,7 @@ def minhash_signatures(
 
     Each hash_i(s) = xxhash64(i, s); min over shingles per doc. A single
     explode + one groupBy with k partial-aggregated mins."""
+    df = _ensure_parallelism(df)
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(char_shingles(F.col(text_col), shingle_n))).alias("sh"),
@@ -155,6 +169,7 @@ def ngram_jaccard_pairs(
     Scale: the shingle self-join is bounded by dropping shingles that
     occur in > max_shingle_freq docs (ultra-common n-grams contribute
     almost nothing to discrimination but dominate join fan-out)."""
+    df = _ensure_parallelism(df)
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(char_shingles(F.col(text_col), shingle_n))).alias("sh"),
@@ -188,6 +203,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, *, shingle_n: int = 3) ->
     Implementation: explode features → one groupBy with 64 conditional
     sums (partial-aggregated map-side) → bit reassembly. Returns
     (id, simhash:long)."""
+    df = _ensure_parallelism(df)
     feats = df.select(
         F.col(id_col).alias("id"),
         F.explode(char_shingles(F.col(text_col), shingle_n)).alias("ft"),

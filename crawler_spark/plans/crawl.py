@@ -511,6 +511,7 @@ class CrawlEngine:
         if m is None:
             raise RuntimeError("no snapshot to resume from")
         frames = self.store.load(self.spark, m["step"])
+        self.metrics = list(m.get("metrics", []))  # restore metric history
         self._bloom_add(frames["seen"])  # rebuild prefilter from snapshot
         return self._loop(
             _checkpoint(frames["frontier"]),
@@ -696,7 +697,7 @@ class CrawlEngine:
             if self.snapshot_every and step % self.snapshot_every == 0:
                 self.store.commit(
                     step,
-                    {"seq_base": seq_base, "pops": pops},
+                    {"seq_base": seq_base, "pops": pops, "metrics": self.metrics},
                     {"frontier": frontier, "seen": seen, "host_state": host_state},
                 )
 

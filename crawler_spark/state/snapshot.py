@@ -40,6 +40,8 @@ class SnapshotStore:
         return os.path.join(self.root, "snapshots", f"step={step}")
 
     def commit(self, step: int, scalars: dict, frames: dict[str, DataFrame]) -> None:
+        from pyspark.sql import functions as F
+
         final = self._snap_dir(step)
         tmp = final + ".tmp"
         if os.path.exists(tmp):
@@ -47,11 +49,22 @@ class SnapshotStore:
         if os.path.exists(final):
             shutil.rmtree(final)
         os.makedirs(tmp)
+        lineage: dict[str, list] = {}
         for name, df in frames.items():
             df.write.mode("overwrite").parquet(os.path.join(tmp, name))
+            # per-partition lineage: which partition contributed how many
+            # rows to this snapshot (the Iceberg-manifest analog)
+            lineage[name] = [
+                {"partition_id": r["pid"], "n_rows": r["n"]}
+                for r in df.select(F.spark_partition_id().alias("pid"))
+                .groupBy("pid")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            ]
         manifest = dict(scalars)
         manifest["step"] = step
         manifest["tables"] = sorted(frames)
+        manifest["lineage"] = lineage
         with open(os.path.join(tmp, "manifest.json"), "w") as f:
             json.dump(manifest, f)
         os.rename(tmp, final)

@@ -68,3 +68,33 @@ def test_resume_without_snapshot_raises(spark, tmp_path):
     )
     with pytest.raises(RuntimeError):
         eng.resume()
+
+
+def test_snapshot_carries_lineage_and_metrics(spark, tmp_path):
+    """Snapshots record per-partition lineage + the metric history
+    (north rule: per-partition lineage and fetch/dedupe metrics)."""
+    fx = synth_web(n_pages=15, n_hosts=2, seed=6, error_rate=0.0)
+    eng = CrawlEngine(
+        spark, fx.web_df(spark), host_policy=fx.host_policy_df(spark),
+        policy=CrawlPolicy(max_depth=3, obey_robots=False),
+        workdir=str(tmp_path / "w"), snapshot_every=1, max_pops=6,
+    )
+    eng.run(fx.seeds)
+    m = eng.store.latest()
+    assert m is not None
+    assert set(m["lineage"]) == {"frontier", "seen", "host_state"}
+    seen_lineage = m["lineage"]["seen"]
+    assert sum(p["n_rows"] for p in seen_lineage) > 0
+    assert all("partition_id" in p for p in seen_lineage)
+    assert m["metrics"], "metric history persisted"
+    assert {"step", "selected"} <= set(m["metrics"][0])
+
+    # resume restores the metric history
+    eng2 = CrawlEngine(
+        spark, fx.web_df(spark), host_policy=fx.host_policy_df(spark),
+        policy=CrawlPolicy(max_depth=3, obey_robots=False),
+        workdir=str(tmp_path / "w"), snapshot_every=1,
+    )
+    full = eng2.resume()
+    assert len(eng2.metrics) >= len(m["metrics"])
+    assert full.pops > 0

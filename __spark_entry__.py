@@ -286,19 +286,27 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def q_minhash_near_dups(spark, sf_dir):
+    """MinHash+LSH near-dup with the md5 hash family (SQL-expressible so
+    the DuckDB oracle recomputes signatures/bands/est-Jaccard exactly;
+    production uses the xxhash64 family — same algorithm)."""
     from crawler_spark.operators.dedup import minhash_near_dups
 
     d = _t(spark, sf_dir, "documents")
-    return minhash_near_dups(d, "doc_id", "text", threshold=0.6).select(
+    return minhash_near_dups(d, "doc_id", "text", threshold=0.6,
+                             feature_hash="md5").select(
         "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
     )
 
 
 def q_simhash(spark, sf_dir):
+    """SimHash fingerprints with the md5-derived 64-bit feature hash
+    (bit-for-bit recomputable by the DuckDB oracle; production uses
+    xxhash64 — same voting semantics, fingerprint.go:12-115)."""
     from crawler_spark.operators.dedup import simhash
 
     d = _t(spark, sf_dir, "documents")
-    return simhash(d, "doc_id", "text").select(F.col("id").alias("doc_id"), "simhash")
+    return simhash(d, "doc_id", "text", feature_hash="md5").select(
+        F.col("id").alias("doc_id"), "simhash")
 
 
 def q_ann_cosine_topk(spark, sf_dir):
@@ -311,11 +319,14 @@ def q_ann_cosine_topk(spark, sf_dir):
 
 
 def q_ann_srp_topk(spark, sf_dir):
+    """SRP-LSH bucketed ANN with md5-parity hyperplanes (sign-equivalent
+    blocking the DuckDB oracle recomputes; production uses xxhash64)."""
     from crawler_spark.operators.similarity import ann_topk_srp
 
     emb = _t(spark, sf_dir, "embeddings")
     qrow = emb.orderBy("vec_id").select("embedding").first()
-    res = ann_topk_srp(emb, "vec_id", "embedding", list(qrow["embedding"]), 10, bits=6)
+    res = ann_topk_srp(emb, "vec_id", "embedding", list(qrow["embedding"]), 10,
+                       bits=6, bucket_hash="md5")
     return res.select(F.col("id").alias("vec_id"), F.round("score", 4).alias("score"))
 
 
@@ -609,6 +620,161 @@ JOIN sizes sb ON sb.doc_id = id_b
 WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
 """
 
+def _minhash_oracle_sql(k=32, bands=8, rows=4, threshold=0.6, max_bucket=1000):
+    """DuckDB recomputation of the md5-family MinHash+LSH operator:
+    same shingling (3-gram over normalized text), same per-permutation
+    hash min(md5('<i>_'||sh)), same band hash md5(h||'|'||...), same
+    degenerate-bucket cap, same estimated-Jaccard filter."""
+    mins = ", ".join(f"min(md5('{i}_' || sh)) AS h{i}" for i in range(k))
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({cc}) AS bh FROM sig".format(
+            b=b, cc=" || '|' || ".join(f"h{b * rows + j}" for j in range(rows)))
+        for b in range(bands)
+    )
+    eq = " + ".join(f"CAST(sa.h{i} = sb.h{i} AS INT)" for i in range(k))
+    return f"""
+WITH nt AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, substr(t, CAST(i AS BIGINT), 3) AS sh
+  FROM nt, UNNEST(range(1, greatest(length(t) - 1, 1))) AS u(i)
+  WHERE length(t) >= 3
+), sig AS (
+  SELECT doc_id, {mins} FROM sh GROUP BY doc_id
+), bands AS ({band_selects}
+), keep AS (
+  SELECT band, bh FROM bands GROUP BY band, bh HAVING count(*) <= {max_bucket}
+), b2 AS (
+  SELECT bands.* FROM bands JOIN keep USING (band, bh)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM b2 a JOIN b2 b USING (band, bh) WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, ROUND(({eq}) / {float(k)}, 6) AS est_jaccard
+FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b
+WHERE ({eq}) / {float(k)} >= {threshold}
+"""
+
+
+def _simhash_oracle_sql():
+    """DuckDB recomputation of the md5-family SimHash: per-feature 64-bit
+    hash = first 16 hex chars of md5(shingle); per-bit ±1 votes; bit set
+    iff vote sum > 0."""
+    votes = ", ".join(
+        "sum(CASE WHEN (((strpos('0123456789abcdef', substr(m, {pos}, 1)) - 1) >> {sh}) & 1) = 1 "
+        "THEN 1 ELSE -1 END) AS b{b}".format(pos=16 - b // 4, sh=b % 4, b=b)
+        for b in range(64)
+    )
+    terms = " + ".join(
+        ("CASE WHEN b63 > 0 THEN -9223372036854775808 ELSE 0 END" if b == 63
+         else f"CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END")
+        for b in range(64)
+    )
+    return f"""
+WITH nt AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t FROM documents
+), sh AS (
+  SELECT doc_id, substr(t, CAST(i AS BIGINT), 3) AS ft
+  FROM nt, UNNEST(range(1, greatest(length(t) - 1, 1))) AS u(i)
+  WHERE length(t) >= 3
+), h AS (
+  SELECT doc_id, md5(ft) AS m FROM sh
+), v AS (
+  SELECT doc_id, {votes} FROM h GROUP BY doc_id
+)
+SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM v
+"""
+
+
+def _srp_oracle_sql(bits=6, seed=42, k=10):
+    """DuckDB recomputation of md5-parity SRP bucketing + in-bucket
+    cosine top-k. Projections run over the raw double vector (SRP signs
+    are scale-invariant), matching the Spark md5 variant exactly."""
+    def proj(i):
+        return (
+            "list_reduce(list_transform(v, (x, j) -> CASE WHEN "
+            f"((strpos('0123456789abcdef', substr(md5('{seed}_{i}_' || (j - 1)), 32, 1)) - 1) % 2) = 1 "
+            "THEN x ELSE -x END), (a, b) -> a + b)"
+        )
+    projs = ", ".join(f"{proj(i)} AS p{i}" for i in range(bits))
+    bucket = " + ".join(f"CASE WHEN p{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(bits))
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), p AS (
+  SELECT vec_id, v, {projs} FROM e
+), bk AS (
+  SELECT vec_id, v, CAST({bucket} AS BIGINT) AS bucket FROM p
+), n AS (
+  SELECT vec_id, bucket,
+    CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN v
+         ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v))) END AS u
+  FROM bk
+), q AS (
+  SELECT bucket AS qbucket, u AS qu FROM n
+  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+)
+SELECT vec_id, ROUND(list_dot_product(u, qu), 4) AS score
+FROM n, q WHERE bucket = qbucket
+ORDER BY list_dot_product(u, qu) DESC, vec_id ASC
+LIMIT {k}
+"""
+
+
+def _ivf_oracle_sql(nc=8, nprobe=4, k=10):
+    """DuckDB recomputation of the deterministic IVF index: init = first
+    nc vectors by id, 2 Lloyd iterations (same argmin tie-break: lowest
+    centroid id), probe the nprobe nearest cells, cosine top-k."""
+    def sqd(vcol, ccol):
+        return (f"list_reduce(list_transform({vcol}, (x, j) -> (x - {ccol}[j]) * (x - {ccol}[j])), "
+                "(a, b) -> a + b)")
+
+    def assign(cents):
+        return f"""
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY {sqd('e.v', 'c.cv')} ASC, c.cid ASC) AS rn
+    FROM e CROSS JOIN {cents} c) WHERE rn = 1"""
+
+    def means(asg):
+        return f"""
+  SELECT cid, list(m ORDER BY pos) AS cv FROM (
+    SELECT cid, pos, avg(x) AS m FROM (
+      SELECT cid, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM {asg}) t1
+    GROUP BY cid, pos) t2
+  GROUP BY cid"""
+
+    cos = ("CASE WHEN sqrt(list_dot_product(sel.v, sel.v)) = 0 OR sqrt(list_dot_product(q.qv, q.qv)) = 0 THEN 0.0 "
+           "ELSE list_dot_product(sel.v, q.qv) / (sqrt(list_dot_product(sel.v, sel.v)) * sqrt(list_dot_product(q.qv, q.qv))) END")
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v AS cv
+  FROM e ORDER BY vec_id LIMIT {nc}
+), a1 AS ({assign('c0')}
+), m1 AS ({means('a1')}
+), c1 AS (
+  SELECT c0.cid, COALESCE(m1.cv, c0.cv) AS cv FROM c0 LEFT JOIN m1 USING (cid)
+), a2 AS ({assign('c1')}
+), m2 AS ({means('a2')}
+), c2 AS (
+  SELECT c1.cid, COALESCE(m2.cv, c1.cv) AS cv FROM c1 LEFT JOIN m2 USING (cid)
+), q AS (
+  SELECT v AS qv FROM e WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+), probe AS (
+  SELECT c2.cid FROM c2, q ORDER BY {sqd('q.qv', 'c2.cv')} ASC, c2.cid ASC LIMIT {nprobe}
+), a3 AS ({assign('c2')}
+), sel AS (
+  SELECT a3.vec_id, a3.v FROM a3 JOIN probe USING (cid)
+)
+SELECT vec_id, ROUND({cos}, 4) AS score FROM sel, q
+ORDER BY {cos} DESC, vec_id ASC
+LIMIT {k}
+"""
+
+
 _ANN_SQL = """
 WITH q AS (
   SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
@@ -692,7 +858,7 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT * FROM events ORDER BY ts ASC, event_id ASC LIMIT 500)"
         ),
         "sessionize": (
-            "SELECT user_id, sum(ns) AS n_sessions, count(*) AS n_events FROM ("
+            "SELECT user_id, CAST(sum(ns) AS BIGINT) AS n_sessions, count(*) AS n_events FROM ("
             " SELECT user_id, CASE WHEN prev IS NULL OR "
             " (epoch_us(ts) - epoch_us(prev)) > 1800 * 1000000 THEN 1 ELSE 0 END AS ns"
             " FROM (SELECT user_id, ts, LAG(ts) OVER "
@@ -751,14 +917,18 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _LANG_SQL,
         "token_stats_by_lang": (
             "SELECT lang, count(*) AS n_docs, "
-            "sum(CASE WHEN length(trim(text)) = 0 THEN 0 "
-            "ELSE len(string_split_regex(trim(text), '\\s+')) END) AS total_tokens, "
+            "CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0 "
+            "ELSE len(string_split_regex(trim(text), '\\s+')) END) AS BIGINT) AS total_tokens, "
             "ROUND(CAST(sum(length(text)) AS DOUBLE) / count(*), 6) AS mean_chars "
             "FROM documents GROUP BY lang"
         ),
         "quality_filter": _QUALITY_SQL,
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "minhash_near_dups": _minhash_oracle_sql(),
+        "simhash": _simhash_oracle_sql(),
         "ann_cosine_topk": _ANN_SQL,
+        "ann_srp_topk": _srp_oracle_sql(),
+        "ann_ivf_topk": _ivf_oracle_sql(),
         "embedding_dup_pairs": _EMB_PAIRS_SQL,
         "mm_payload_stats": (
             "SELECT doc_id, octet_length(encode(text)) AS n_bytes, "
@@ -786,7 +956,7 @@ def oracle_sql() -> dict[str, str]:
             "THEN 'hit' WHEN etag IS NOT NULL THEN 'revalidate' ELSE 'miss' END "
             "AS cache_route FROM c"
         ),
-        # rows-only (no SQL-expressible oracle): minhash_near_dups, simhash,
-        # ann_srp_topk (xxhash64-derived), crawl_bfs (iterative engine;
-        # golden-tested against the serial oracle in tests/test_crawl_e2e).
+        # rows-only (no SQL-expressible oracle): crawl_bfs only — the
+        # iterative engine; its emitted log is checksum-matched against
+        # the serial oracle in tests/test_crawl_e2e.py::test_entry_bfs_checksum.
     }

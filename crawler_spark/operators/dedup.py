@@ -68,25 +68,41 @@ def distinct_docs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # MinHash + LSH
 # --------------------------------------------------------------------- #
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, *, k: int = 32, shingle_n: int = 3
+    df: DataFrame, id_col: str, text_col: str, *, k: int = 32, shingle_n: int = 3,
+    feature_hash: str = "xxhash64",
 ) -> DataFrame:
-    """(id, sig: array<long>[k]) — k independent min-hashes of the
-    document's distinct character shingles.
+    """(id, sig: array[k]) — k independent min-hashes of the document's
+    distinct character shingles.
 
     Each hash_i(s) = xxhash64(i, s); min over shingles per doc. A single
-    explode + one groupBy with k partial-aggregated mins."""
+    explode + one groupBy with k partial-aggregated mins.
+
+    ``feature_hash="md5"`` swaps the hash family for
+    ``min(md5('<i>_' || shingle))`` over *strings* — arithmetically
+    identical MinHash semantics (min of a uniform hash per permutation),
+    chosen because md5 is computable in ANSI SQL/DuckDB, which makes the
+    operator independently verifiable by the driver's oracle. The
+    xxhash64 family stays the production default (8-byte values vs
+    32-byte strings through the shuffle)."""
     df = _ensure_parallelism(df)
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(char_shingles(F.col(text_col), shingle_n))).alias("sh"),
     )
-    aggs = [F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}") for i in range(k)]
+    if feature_hash == "md5":
+        aggs = [
+            F.min(F.md5(F.concat(F.lit(f"{i}_"), F.col("sh")))).alias(f"h{i}")
+            for i in range(k)
+        ]
+    else:
+        aggs = [F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}") for i in range(k)]
     sig = sh.groupBy("id").agg(*aggs)
     return sig.select("id", F.array(*[f"h{i}" for i in range(k)]).alias("sig"))
 
 
 def lsh_candidate_pairs(
-    sig: DataFrame, *, bands: int = 8, rows: int = 4, max_bucket: int = 1000
+    sig: DataFrame, *, bands: int = 8, rows: int = 4, max_bucket: int = 1000,
+    feature_hash: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-dup pairs from banded minhash signatures.
 
@@ -94,14 +110,17 @@ def lsh_candidate_pairs(
     collide in ≥1 band. ``max_bucket`` drops degenerate buckets (e.g. the
     empty-document signature) to bound join skew — dropped buckets are the
     operator's documented coverage cap."""
+    if feature_hash == "md5":
+        def band_hash(i):
+            return F.md5(F.concat_ws("|", *[F.col("sig")[i * rows + j] for j in range(rows)]))
+    else:
+        def band_hash(i):
+            return F.xxhash64(*[F.col("sig")[i * rows + j] for j in range(rows)])
     b = sig.select(
         "id",
         F.explode(
             F.array(*[
-                F.struct(
-                    F.lit(i).alias("band"),
-                    F.xxhash64(*[F.col("sig")[i * rows + j] for j in range(rows)]).alias("bh"),
-                )
+                F.struct(F.lit(i).alias("band"), band_hash(i).alias("bh"))
                 for i in range(bands)
             ])
         ).alias("e"),
@@ -128,11 +147,13 @@ def minhash_near_dups(
     rows: int = 4,
     shingle_n: int = 3,
     threshold: float = 0.6,
+    feature_hash: str = "xxhash64",
 ) -> DataFrame:
     """End-to-end MinHash near-dup: signatures → LSH candidates →
     signature-estimated Jaccard filter. Returns (id_a, id_b, est_jaccard)."""
-    sig = minhash_signatures(df, id_col, text_col, k=k, shingle_n=shingle_n)
-    cand = lsh_candidate_pairs(sig, bands=bands, rows=rows)
+    sig = minhash_signatures(df, id_col, text_col, k=k, shingle_n=shingle_n,
+                             feature_hash=feature_hash)
+    cand = lsh_candidate_pairs(sig, bands=bands, rows=rows, feature_hash=feature_hash)
     a = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     bb = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
     est = (
@@ -196,22 +217,40 @@ def ngram_jaccard_pairs(
 # --------------------------------------------------------------------- #
 # SimHash
 # --------------------------------------------------------------------- #
-def simhash(df: DataFrame, id_col: str, text_col: str, *, shingle_n: int = 3) -> DataFrame:
+def simhash(df: DataFrame, id_col: str, text_col: str, *, shingle_n: int = 3,
+            feature_hash: str = "xxhash64") -> DataFrame:
     """64-bit SimHash per document (fingerprint.go:12-115 semantics:
     per-feature 64-bit hashes vote per bit; bit set iff positive sum).
 
     Implementation: explode features → one groupBy with 64 conditional
     sums (partial-aggregated map-side) → bit reassembly. Returns
-    (id, simhash:long)."""
+    (id, simhash:long).
+
+    ``feature_hash="md5"`` derives the 64-bit feature hash from the first
+    16 hex chars of md5 (bit b read out of hex digit ``15 - b//4``) — an
+    SQL-expressible family so the DuckDB oracle can recompute the exact
+    fingerprints; xxhash64 stays the production default."""
     df = _ensure_parallelism(df)
     feats = df.select(
         F.col(id_col).alias("id"),
         F.explode(char_shingles(F.col(text_col), shingle_n)).alias("ft"),
-    ).withColumn("h", F.xxhash64("ft"))
+    )
+    if feature_hash == "md5":
+        feats = feats.withColumn("m", F.md5("ft"))
+
+        def bit(b):
+            # value = int(md5_hex[0:16], 16); bit b lives in the hex digit
+            # at 1-based position 16 - b//4, at in-digit offset b % 4
+            digit = F.conv(F.substring(F.col("m"), 16 - b // 4, 1), 16, 10).cast("int")
+            return F.shiftright(digit, b % 4).bitwiseAND(F.lit(1))
+    else:
+        feats = feats.withColumn("h", F.xxhash64("ft"))
+
+        def bit(b):
+            return F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))
+
     aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{b}")
+        F.sum(F.when(bit(b) == 1, 1).otherwise(-1)).alias(f"b{b}")
         for b in range(64)
     ]
     votes = feats.groupBy("id").agg(*aggs)

@@ -79,6 +79,33 @@ def srp_bucket(v: Column, *, bits: int = 12, seed: int = 42) -> Column:
     return acc
 
 
+def srp_bucket_md5(v: Column, *, bits: int = 8, seed: int = 42) -> Column:
+    """SRP bucket with md5-parity hyperplane signs — identical blocking
+    semantics to ``srp_bucket`` but computable in ANSI SQL/DuckDB, which
+    lets the driver oracle recompute the buckets independently. Sign of
+    component j of hyperplane i = parity of the last hex digit of
+    md5('<seed>_<i>_<j>'). Production keeps ``srp_bucket`` (xxhash64)."""
+    def _sign_lambda(prefix):
+        def f(_, j):
+            return F.when(
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(prefix), j.cast("string"))), 32, 1),
+                    16, 10,
+                ).cast("int") % 2 == 1,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0))
+        return f
+
+    acc = F.lit(0).cast("long")
+    for i in range(bits):
+        signs = F.transform(v, _sign_lambda(f"{seed}_{i}_"))
+        proj = F.aggregate(
+            F.zip_with(v, signs, lambda x, s: x * s), F.lit(0.0), lambda a, x: a + x
+        )
+        acc = acc + F.when(proj > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return acc
+
+
 def _sq_dist(v: Column, cent: list[float]) -> Column:
     c = F.array(*[F.lit(float(x)) for x in cent])
     return F.aggregate(
@@ -163,22 +190,41 @@ def ann_topk_srp(
     *,
     bits: int = 8,
     seed: int = 42,
+    bucket_hash: str = "xxhash64",
 ) -> DataFrame:
     """Approximate top-k: score only rows in the query's SRP bucket.
 
     With the corpus written partitioned by bucket, the scan prunes to one
     partition; recall is traded via ``bits`` (fewer bits → bigger buckets
-    → higher recall, more work). Returns (id, score)."""
+    → higher recall, more work). Returns (id, score).
+
+    ``bucket_hash="md5"`` buckets on the raw double vector with
+    md5-parity hyperplanes (srp_bucket_md5) — sign-equivalent blocking
+    (SRP signs are scale-invariant) that a SQL oracle can recompute."""
     un = unit_norm(F.col(vec_col))
-    e = emb.select(F.col(id_col).alias("id"), un.alias("v")).withColumn(
-        "bucket", srp_bucket(F.col("v"), bits=bits, seed=seed)
+    if bucket_hash == "md5":
+        vraw = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        bucket_col = srp_bucket_md5(vraw, bits=bits, seed=seed)
+    else:
+        bucket_col = None
+    e = emb.select(
+        F.col(id_col).alias("id"),
+        un.alias("v"),
+        *( [bucket_col.alias("bucket")] if bucket_col is not None else [] ),
     )
+    if bucket_col is None:
+        e = e.withColumn("bucket", srp_bucket(F.col("v"), bits=bits, seed=seed))
     import math
 
     n = math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1.0
     qn = [float(x) / n for x in query_vec]
     q = F.array(*[F.lit(x) for x in qn])
-    qdf = emb.sparkSession.range(1).select(srp_bucket(q, bits=bits, seed=seed).alias("bucket"))
+    if bucket_hash == "md5":
+        qraw = F.array(*[F.lit(float(x)) for x in query_vec])
+        qb = srp_bucket_md5(qraw, bits=bits, seed=seed)
+    else:
+        qb = srp_bucket(q, bits=bits, seed=seed)
+    qdf = emb.sparkSession.range(1).select(qb.alias("bucket"))
     return (
         e.join(F.broadcast(qdf), "bucket")
         .select("id", dot(F.col("v"), q).alias("score"))

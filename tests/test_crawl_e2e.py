@@ -149,3 +149,57 @@ def test_host_budget_cancellation(spark, tmp_path):
         if r["outcome"] != "cancel":
             per_host[r["host_key"]] = per_host.get(r["host_key"], 0) + 1
     assert all(n <= 4 for n in per_host.values())
+
+
+def test_entry_bfs_checksum(spark):
+    """The driver-facing ``crawl_bfs`` entry is rows-only in CORRECTNESS
+    (iterative engine — no SQL oracle); this test closes that gap by
+    checksum-matching its emitted log against the serial oracle run on
+    the same events-derived web (the godoc_test.go:132 pattern)."""
+    import hashlib
+    import os
+
+    from __spark_entry__ import _derived_web, q_crawl_bfs
+    from crawler_spark.plans.oracle import WebRow, crawl_oracle
+
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.exists(os.path.join(sf_dir, "events.parquet")):
+        import pytest
+
+        pytest.skip("driver testdata not present")
+
+    res = q_crawl_bfs(spark, sf_dir)
+    got = [
+        (r["emit_ord"], r["url"], r["depth"], r["status"], r["outcome"])
+        for r in res.orderBy("emit_ord").collect()
+    ]
+    assert len(got) > 0
+
+    web_df, seeds = _derived_web(spark, sf_dir)
+    web = {
+        r["url"]: WebRow(
+            url=r["url"], status=r["status"],
+            out_links=tuple(r["out_links"]), redirect_to=r["redirect_to"],
+        )
+        for r in web_df.collect()
+    }
+    policy = CrawlPolicy(max_depth=4, max_retry=1, obey_robots=False)
+    want_all = crawl_oracle(seeds, web, {}, policy=policy, ticket_at=policy.ticket_at)
+    want = [
+        (e["emit_ord"], e["url"], e["depth"], e["status"], e["outcome"])
+        for e in want_all.emitted
+    ]
+    if len(got) < 60:  # crawl drained before max_pops → both sides complete
+        assert len(want) == len(got)
+    want = want[: len(got)]
+
+    def checksum(rows):
+        h = hashlib.md5()
+        for t in rows:
+            h.update(repr(t).encode())
+        return h.hexdigest()
+
+    assert checksum(got) == checksum(want), (
+        f"entry emitted log diverges from serial oracle at "
+        f"{next((i for i, (a, b) in enumerate(zip(got, want)) if a != b), 'len')}"
+    )

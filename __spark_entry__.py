@@ -413,6 +413,112 @@ def q_cache_route(spark, sf_dir):
     )
 
 
+def q_cache_merge(spark, sf_dir):
+    """S5 cache-store lifecycle (Set/Update/Remove + RFC 13.12 date
+    guard, cache.go:176-264 + client.go:155-204) as a batch MERGE over a
+    cache/results pair synthesized deterministically from orders."""
+    from crawler_spark.operators.cache import cache_merge
+
+    NOW = 900_000_000_000
+    od = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    url = F.concat(F.lit("u"), k.cast("string"))
+    cache = od.where(k % 3 != 0).select(
+        url.alias("url"),
+        (F.lit(800_000_000_000) + (k % 1000) * 1000).cast("long").alias("fetched_ms"),
+        (F.lit(800_000_000_000) + (k % 1000) * 1000).cast("long").alias("date_ms"),
+        F.lit(50_000).cast("long").alias("max_age_ms"),
+        F.lit(0).cast("long").alias("age_ms"),
+        F.when(k % 2 == 0, F.concat(F.lit("e"), k.cast("string"))).alias("etag"),
+        F.lit(None).cast("long").alias("last_modified_ms"),
+        F.lit(False).alias("need_validate"),
+        (k % 500).cast("long").alias("body_bytes"),
+    )
+    route = (
+        F.when(k % 3 == 0, F.lit("miss"))
+        .when(k % 4 == 0, F.lit("hit"))
+        .otherwise(F.lit("revalidate"))
+    )
+    results = od.select(
+        url.alias("url"),
+        route.alias("cache_route"),
+        F.when(k % 5 == 0, F.lit(503))
+        .when((route == "revalidate") & (k % 2 == 0), F.lit(304))
+        .otherwise(F.lit(200))
+        .cast("int")
+        .alias("status"),
+        (k % 7 != 0).alias("resp_cacheable"),
+        (F.lit(800_000_000_000) + (k % 2000) * 750).cast("long").alias("resp_date_ms"),
+        F.lit(60_000).cast("long").alias("resp_max_age_ms"),
+        F.lit(0).cast("long").alias("resp_age_ms"),
+        F.concat(F.lit("n"), k.cast("string")).alias("resp_etag"),
+        F.lit(None).cast("long").alias("resp_last_modified_ms"),
+        (k % 6 == 0).alias("resp_need_validate"),
+        (k % 997).cast("long").alias("resp_body_bytes"),
+    )
+    return cache_merge(cache, results, NOW)
+
+
+_CACHE_MERGE_SQL = """
+WITH c AS (
+  SELECT 'u' || o_orderkey AS url,
+    CAST(800000000000 + (o_orderkey % 1000) * 1000 AS BIGINT) AS fetched_ms,
+    CAST(800000000000 + (o_orderkey % 1000) * 1000 AS BIGINT) AS date_ms,
+    CAST(50000 AS BIGINT) AS max_age_ms, CAST(0 AS BIGINT) AS age_ms,
+    CASE WHEN o_orderkey % 2 = 0 THEN 'e' || o_orderkey END AS etag,
+    CAST(NULL AS BIGINT) AS last_modified_ms, FALSE AS need_validate,
+    CAST(o_orderkey % 500 AS BIGINT) AS body_bytes
+  FROM orders WHERE o_orderkey % 3 <> 0
+), r AS (
+  SELECT 'u' || o_orderkey AS url,
+    CASE WHEN o_orderkey % 3 = 0 THEN 'miss'
+         WHEN o_orderkey % 4 = 0 THEN 'hit' ELSE 'revalidate' END AS cache_route,
+    CASE WHEN o_orderkey % 5 = 0 THEN 503
+         WHEN o_orderkey % 3 <> 0 AND o_orderkey % 4 <> 0 AND o_orderkey % 2 = 0 THEN 304
+         ELSE 200 END AS status,
+    (o_orderkey % 7 <> 0) AS resp_cacheable,
+    CAST(800000000000 + (o_orderkey % 2000) * 750 AS BIGINT) AS resp_date_ms,
+    CAST(60000 AS BIGINT) AS resp_max_age_ms, CAST(0 AS BIGINT) AS resp_age_ms,
+    'n' || o_orderkey AS resp_etag, CAST(NULL AS BIGINT) AS resp_last_modified_ms,
+    (o_orderkey % 6 = 0) AS resp_need_validate,
+    CAST(o_orderkey % 997 AS BIGINT) AS resp_body_bytes
+  FROM orders
+), j AS (
+  SELECT COALESCE(c.url, r.url) AS url, c.url AS curl,
+    c.fetched_ms, c.date_ms, c.max_age_ms, c.age_ms, c.etag,
+    c.last_modified_ms, c.need_validate, c.body_bytes,
+    r.cache_route, r.status, COALESCE(r.resp_cacheable, FALSE) AS resp_cacheable,
+    r.resp_date_ms, r.resp_max_age_ms, r.resp_age_ms, r.resp_etag,
+    r.resp_last_modified_ms, r.resp_need_validate, r.resp_body_bytes
+  FROM c FULL JOIN r ON c.url = r.url
+), a AS (
+  SELECT *,
+    CASE
+      WHEN cache_route IS NULL OR cache_route = 'hit' THEN 'old'
+      WHEN cache_route = 'revalidate' AND status = 304 THEN
+        CASE WHEN resp_date_ms < date_ms THEN 'old'
+             WHEN NOT resp_cacheable THEN 'drop'
+             ELSE 'upd' END
+      WHEN status BETWEEN 200 AND 299 AND resp_cacheable THEN 'new'
+      WHEN cache_route = 'revalidate' AND status BETWEEN 200 AND 299
+           AND NOT resp_cacheable THEN 'drop'
+      ELSE 'old' END AS action
+  FROM j
+)
+SELECT url,
+  CASE WHEN action = 'old' THEN fetched_ms ELSE 900000000000 END AS fetched_ms,
+  CASE WHEN action = 'old' THEN date_ms ELSE resp_date_ms END AS date_ms,
+  CASE WHEN action = 'old' THEN max_age_ms ELSE resp_max_age_ms END AS max_age_ms,
+  CASE WHEN action = 'old' THEN age_ms ELSE resp_age_ms END AS age_ms,
+  CASE WHEN action = 'old' THEN etag ELSE resp_etag END AS etag,
+  CASE WHEN action = 'old' THEN last_modified_ms ELSE resp_last_modified_ms END AS last_modified_ms,
+  CASE WHEN action = 'old' THEN need_validate ELSE resp_need_validate END AS need_validate,
+  CASE WHEN action = 'new' THEN resp_body_bytes ELSE body_bytes END AS body_bytes
+FROM a
+WHERE action <> 'drop' AND NOT (action = 'old' AND curl IS NULL)
+"""
+
+
 # ===================================================================== #
 # the crawl engine itself, driven from testdata (rows-only check)
 # ===================================================================== #
@@ -526,6 +632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_payload_stats": q_mm_payload_stats,
         "urltrie_census": q_urltrie_census,
         "cache_route": q_cache_route,
+        "cache_merge": q_cache_merge,
         "crawl_bfs": q_crawl_bfs,
     }
 
@@ -946,6 +1053,7 @@ def oracle_sql() -> dict[str, str]:
             "count(DISTINCT eid) AS n_children FROM u GROUP BY host, event_type "
             "HAVING count(DISTINCT eid) >= 5"
         ),
+        "cache_merge": _CACHE_MERGE_SQL,
         "cache_route": (
             "WITH c AS (SELECT o_orderkey, epoch_ms(o_orderdate) AS fetched_ms, "
             "CASE WHEN o_orderstatus = 'O' THEN 157680000000 ELSE 0 END AS max_age_ms, "

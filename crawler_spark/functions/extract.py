@@ -60,9 +60,16 @@ class _LinkParser(HTMLParser):
         self.handle_starttag(tag, attrs)
         self._in_script = False
 
+    def handle_endtag(self, tag):
+        # without this, text following </script> would still be treated
+        # as script content (wrong sniff mode for it)
+        if tag == "script":
+            self._in_script = False
+
     def handle_data(self, data):
-        if self.sniff & SNIFF_WINDOW_LOCATION and self._in_script:
-            self.out.append(("sniff_wl", data))
+        if self._in_script:
+            if self.sniff & SNIFF_WINDOW_LOCATION:
+                self.out.append(("sniff_wl", data))
         elif self.sniff & SNIFF_ABSOLUTE_URLS:
             self.out.append(("sniff_abs", data))
 

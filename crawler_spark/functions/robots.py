@@ -18,6 +18,7 @@ Surfaces:
 
 from __future__ import annotations
 
+import functools
 import re
 from dataclasses import dataclass, field
 from typing import Optional
@@ -27,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     LongType,
     StringType,
     StructField,
@@ -102,13 +104,18 @@ def parse_robots(text: Optional[str], agent: str = "*") -> RobotsRules:
     )
 
 
+@functools.lru_cache(maxsize=4096)
 def _pattern_to_regex(pat: str) -> re.Pattern:
+    """RFC 9309: ``*`` matches any chars; ``$`` is an end-anchor ONLY as
+    the final character — a mid-pattern ``$`` is a literal (a rule like
+    ``/a$b`` must still match the path ``/a$b/x``). Compiled patterns are
+    cached (the same handful of rules evaluates per crawled link)."""
     out = []
-    for ch in pat:
+    for i, ch in enumerate(pat):
         if ch == "*":
             out.append(".*")
-        elif ch == "$":
-            out.append("$")  # only meaningful at end; harmless elsewhere
+        elif ch == "$" and i == len(pat) - 1:
+            out.append("$")
         else:
             out.append(re.escape(ch))
     return re.compile("^" + "".join(out))
@@ -136,18 +143,74 @@ def allowed(rules: RobotsRules, path: str) -> bool:
     return best_allow >= best_disallow
 
 
+def prefix_safe_rules(rules: list) -> list[str]:
+    """Disallow rules expressible as literal path prefixes (the legacy
+    engine gate's semantics): plain rules pass through; a single trailing
+    ``*`` is redundant and stripped; anything else (inner wildcards,
+    ``$`` anchors) is NOT prefix-expressible and is excluded — callers
+    that need those must evaluate the full rule set via ``allowed()``
+    (the engine does when ``robots_rules`` is present)."""
+    out = []
+    for is_allow, pat in rules:
+        if is_allow:
+            continue
+        if pat.endswith("*") and "*" not in pat[:-1] and "$" not in pat:
+            out.append(pat[:-1])
+        elif "*" not in pat and "$" not in pat:
+            out.append(pat)
+    return out
+
+
+def robots_gate_udf(spark, host_rules: dict):
+    """Full RFC 9309 gate as a vectorized-transfer UDF: (host, path) →
+    allowed?  ``host_rules`` maps host_key → [(is_allow, pattern), …] in
+    file order and ships once via ``sc.broadcast`` (per-host robots at
+    10^10-URL scale is still ~1 rule-list per registered host — the same
+    broadcast budget as host_policy itself). Hosts without rules are
+    allowed. Pattern regexes are process-cached (lru_cache)."""
+    bc = spark.sparkContext.broadcast(host_rules)
+
+    @F.pandas_udf("boolean")
+    def _gate(host: pd.Series, path: pd.Series) -> pd.Series:
+        rules_map = bc.value
+        out = []
+        for h, p in zip(host, path):
+            rl = rules_map.get(h)
+            if not rl:
+                out.append(True)
+            else:
+                out.append(allowed(RobotsRules(rules=rl), p))
+        return pd.Series(out)
+
+    return _gate
+
+
 ROBOTS_POLICY_SCHEMA = StructType(
     [
         StructField("interval_ms", LongType()),
         StructField("robots_disallow", ArrayType(StringType())),
         StructField("robots_allow", ArrayType(StringType())),
         StructField("sitemaps", ArrayType(StringType())),
+        # full rule list in file order for RFC 9309 longest-match eval
+        StructField(
+            "robots_rules",
+            ArrayType(
+                StructType(
+                    [StructField("allow", BooleanType()), StructField("pat", StringType())]
+                )
+            ),
+        ),
     ]
 )
 
 
 def robots_policy_udf(agent: str = "*", default_interval_ms: int = 0):
-    """robots_txt column → (interval_ms, disallow[], allow[], sitemaps[])."""
+    """robots_txt column → (interval_ms, disallow[], allow[], sitemaps[],
+    rules[]).  ``robots_disallow`` carries only the PREFIX-SAFE subset
+    (see :func:`prefix_safe_rules`) so a consumer wiring it into a
+    literal-prefix gate cannot silently mis-evaluate wildcard/anchored
+    rules; the untranslated rule list rides in ``robots_rules`` for full
+    longest-match evaluation."""
 
     @F.pandas_udf(ROBOTS_POLICY_SCHEMA)
     def _parse(texts: pd.Series) -> pd.DataFrame:
@@ -162,9 +225,10 @@ def robots_policy_udf(agent: str = "*", default_interval_ms: int = 0):
             rows.append(
                 (
                     interval,
-                    [p for ok, p in r.rules if not ok],
+                    prefix_safe_rules(r.rules),
                     [p for ok, p in r.rules if ok],
                     list(r.sitemaps),
+                    [{"allow": bool(ok), "pat": p} for ok, p in r.rules],
                 )
             )
         return pd.DataFrame(rows, columns=ROBOTS_POLICY_SCHEMA.fieldNames())
@@ -181,11 +245,14 @@ def robots_to_host_policy(
     default_interval_ms: int = 0,
     max_visits: int = 1,
 ) -> DataFrame:
-    """(host, robots_txt) rows → HOST_POLICY_SCHEMA rows for the engine.
+    """(host, robots_txt) rows → host_policy rows for the engine.
 
-    The engine's accept gate uses prefix semantics (robots_disallow);
-    full longest-match evaluation is available via :func:`allowed` for
-    policies that need Allow overrides."""
+    Emits HOST_POLICY_SCHEMA plus ``robots_rules`` (the full rule list).
+    When that column is present the engine gates links through the full
+    RFC 9309 longest-match evaluation (wildcards, ``$`` anchors, Allow
+    overrides) via :func:`robots_gate_udf`; ``robots_disallow`` holds
+    only the prefix-safe subset so the legacy prefix gate can never
+    mis-evaluate a wildcard rule."""
     parsed = robots.select(
         F.col(host_col).alias("host_key"),
         robots_policy_udf(agent, default_interval_ms)(F.col(text_col)).alias("r"),
@@ -195,4 +262,5 @@ def robots_to_host_policy(
         F.col("r.interval_ms").alias("interval_ms"),
         F.lit(max_visits).alias("max_visits"),
         F.col("r.robots_disallow").alias("robots_disallow"),
+        F.col("r.robots_rules").alias("robots_rules"),
     )

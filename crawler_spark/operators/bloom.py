@@ -16,9 +16,13 @@ Design for 10^10 URLs:
     one applyInPandas per shard — Arrow-batched, no per-row Python).
   * shards are numpy bitmaps broadcast to executors (``sc.broadcast``);
     membership tests run vectorized inside a pandas UDF.
-  * incremental maintenance: ``BloomShards.add_hashes`` ORs new URL
-    hashes into the shard bitmaps between ticks without a rebuild;
-    rebuilds stream shard-by-shard, never holding the whole set.
+  * incremental maintenance is LSM-style: the broadcast bloom covers the
+    ``seen`` prefix up to a seq watermark (the last distributed rebuild);
+    URLs added since then live in a small *recent* slice that
+    bloom-negative rows anti-join (broadcast). No per-step driver
+    collect or re-broadcast ever happens on the step path; a periodic
+    ``build()`` (rebuild cadence = rows-since-rebuild threshold) folds
+    the recent slice in. ``add_hashes`` remains for driver-side unit use.
   * k hash probes derive from the single 64-bit xxhash64 url_hash by
     double hashing (h1 + i*h2), the standard Kirsch-Mitzenmacher
     construction — no re-hashing of the URL string.
@@ -160,18 +164,48 @@ class BloomShards:
 
         return _mc
 
+    def release(self) -> None:
+        """Unpersist the executor-side broadcast (called when a rebuild
+        replaces this generation of shards)."""
+        if self._bc is not None:
+            try:
+                self._bc.unpersist(False)
+            except Exception:
+                pass
+            self._bc = None
+
     def prefilter_fresh(
-        self, links: DataFrame, seen: DataFrame, url_col: str = "url"
+        self,
+        links: DataFrame,
+        seen: DataFrame,
+        url_col: str = "url",
+        *,
+        recent_min_seq: Optional[int] = None,
+        seq_col: str = "seq",
     ) -> DataFrame:
         """Exact anti-join with the bloom prefilter in front.
 
         definitely-fresh (bloom negative) rows skip the shuffle probe;
         possible-seen rows go through the exact anti-join — the split
-        preserves exact semantics (M5: bloom never rejects alone)."""
+        preserves exact semantics (M5: bloom never rejects alone).
+
+        LSM-style staleness handling (``recent_min_seq``): the bloom may
+        cover only the prefix of ``seen`` with ``seq < recent_min_seq``
+        (the state as of the last distributed rebuild). Bloom-negative
+        rows are then proven absent from that prefix but must still
+        anti-join the small *recent* slice (``seq >= recent_min_seq``,
+        bounded by the rebuild cadence ⇒ broadcastable). This keeps the
+        step path free of driver-side filter maintenance: no per-step
+        collect, no per-step re-broadcast — only a periodic distributed
+        ``build()`` (the incremental-maintenance answer for 10^10 URLs).
+        """
         spark = links.sparkSession
         mc = self.might_contain_udf(spark)
         tagged = links.withColumn("_maybe_seen", mc(F.xxhash64(F.col(url_col))))
         fresh_fast = tagged.where(~F.col("_maybe_seen")).drop("_maybe_seen")
+        if recent_min_seq is not None:
+            recent = seen.where(F.col(seq_col) >= F.lit(recent_min_seq)).select(url_col)
+            fresh_fast = fresh_fast.join(F.broadcast(recent), url_col, "left_anti")
         probed = (
             tagged.where(F.col("_maybe_seen"))
             .drop("_maybe_seen")

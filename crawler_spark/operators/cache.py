@@ -28,7 +28,16 @@ CACHEABLE_STATUS = (200, 203, 206, 300, 301)
 
 CACHE_SCHEMA = (
     "url string, fetched_ms long, date_ms long, max_age_ms long, age_ms long, "
-    "etag string, last_modified_ms long, need_validate boolean"
+    "etag string, last_modified_ms long, need_validate boolean, body_bytes long"
+)
+
+# per-row fetch outcome columns consumed by cache_merge (the parsed
+# Cache-Control of the *new* response — production fills them via a
+# pandas UDF over header maps using parse_response_cache; tests/oracle
+# synthesize them directly)
+RESULT_COLS = (
+    "url, cache_route, status, resp_cacheable, resp_date_ms, resp_max_age_ms, "
+    "resp_age_ms, resp_etag, resp_last_modified_ms, resp_need_validate, resp_body_bytes"
 )
 
 
@@ -143,3 +152,112 @@ def route_fetch_batch(
     return selected.join(fetch_cache, url_col, "left").withColumn(
         "cache_route", cache_route_col(now_ms)
     )
+
+
+def cache_merge(
+    fetch_cache: DataFrame, results: DataFrame, now_ms: int
+) -> DataFrame:
+    """Post-fetch cache maintenance — the batch MERGE expressing
+    ``Pool.Set/Update/Remove`` (cache/cache.go:190-264) and the
+    revalidation bookkeeping of ``StdClient.revalidate``
+    (client.go:155-204):
+
+      * route ``hit`` (or url untouched this tick) → entry unchanged;
+      * route ``revalidate`` + 304 → **Update**: keep the body; refresh
+        the control fields from the 304 response — unless the new Date
+        precedes the cached Date (RFC 2616 §13.12 cache replacement:
+        keep the newer entry, cache.go:227-230) or the new control is
+        uncacheable (→ **Remove**, client.go:184-186);
+      * any 2xx fetch (miss, or revalidate-that-modified) with a
+        cacheable response → **Set**: insert/replace the entry
+        (cache.go:190-215);
+      * revalidate-that-modified with an *uncacheable* response →
+        **Remove** (client.go:184-186);
+      * error outcomes leave the pool untouched (Do returns before any
+        cache write, client.go:114-136).
+
+    ``results`` columns: RESULT_COLS (resp_* = parsed Cache-Control of
+    the new response; resp_cacheable=false models Parse returning nil).
+    Returns the next fetch_cache table. One full-outer join on url —
+    co-partitioned with the cache table's hash-by-url layout at scale.
+    Eviction is a separate operator (:func:`evict_cache`)."""
+    old = fetch_cache.select(
+        "url",
+        F.struct(
+            "fetched_ms", "date_ms", "max_age_ms", "age_ms",
+            "etag", "last_modified_ms", "need_validate", "body_bytes",
+        ).alias("_old"),
+    )
+    res = results.select(*[c.strip() for c in RESULT_COLS.split(",")])
+    j = old.join(res, "url", "full")
+
+    new_entry = F.struct(
+        F.lit(now_ms).cast("long").alias("fetched_ms"),
+        F.col("resp_date_ms").alias("date_ms"),
+        F.col("resp_max_age_ms").alias("max_age_ms"),
+        F.col("resp_age_ms").alias("age_ms"),
+        F.col("resp_etag").alias("etag"),
+        F.col("resp_last_modified_ms").alias("last_modified_ms"),
+        F.col("resp_need_validate").alias("need_validate"),
+        F.col("resp_body_bytes").alias("body_bytes"),
+    )
+    updated_entry = F.struct(
+        F.lit(now_ms).cast("long").alias("fetched_ms"),
+        F.col("resp_date_ms").alias("date_ms"),
+        F.col("resp_max_age_ms").alias("max_age_ms"),
+        F.col("resp_age_ms").alias("age_ms"),
+        F.col("resp_etag").alias("etag"),
+        F.col("resp_last_modified_ms").alias("last_modified_ms"),
+        F.col("resp_need_validate").alias("need_validate"),
+        F.col("_old.body_bytes").alias("body_bytes"),  # body kept on 304
+    )
+    ok2xx = (F.col("status") >= 200) & (F.col("status") < 300)
+    untouched = F.col("cache_route").isNull() | (F.col("cache_route") == "hit")
+    reval = F.col("cache_route") == "revalidate"
+    cacheable = F.coalesce("resp_cacheable", F.lit(False))
+
+    next_entry = (
+        F.when(untouched, F.col("_old"))
+        .when(
+            reval & (F.col("status") == 304),
+            F.when(F.col("resp_date_ms") < F.col("_old.date_ms"), F.col("_old"))
+            .when(~cacheable, F.lit(None))
+            .otherwise(updated_entry),
+        )
+        .when(ok2xx & cacheable, new_entry)  # Set (miss or modified reval)
+        .when(reval & ok2xx & ~cacheable, F.lit(None))  # Remove
+        .otherwise(F.col("_old"))  # errors / uncacheable miss: untouched
+    )
+    return (
+        j.withColumn("_next", next_entry)
+        .where(F.col("_next").isNotNull())
+        .select("url", "_next.*")
+    )
+
+
+def evict_cache(
+    fetch_cache: DataFrame, max_bytes: int, *, partitioned: bool = False
+) -> DataFrame:
+    """Size-bounded eviction (cache.go:202-208 evicts arbitrary entries
+    until the new body fits; our deterministic refinement keeps the most
+    recently fetched entries within the byte budget, ties by url).
+
+    ``partitioned=True`` applies the budget per hash-partition of url
+    (budget/P each) — no global window, the 10^10-scale path; the exact
+    global variant is the small-scale/oracle face."""
+    from pyspark.sql import Window
+
+    if partitioned:
+        npart = fetch_cache.sparkSession.sparkContext.defaultParallelism
+        part = F.pmod(F.xxhash64("url"), F.lit(npart))
+        w = Window.partitionBy(part).orderBy(
+            F.col("fetched_ms").desc(), F.col("url").asc()
+        )
+        budget = max_bytes // npart
+    else:
+        w = Window.orderBy(F.col("fetched_ms").desc(), F.col("url").asc())
+        budget = max_bytes
+    cum = F.sum(F.coalesce("body_bytes", F.lit(0))).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return fetch_cache.withColumn("_cum", cum).where(F.col("_cum") <= budget).drop("_cum")

@@ -111,6 +111,9 @@ def _checkpoint(df: DataFrame) -> DataFrame:
     jschema = spark._jvm.org.apache.spark.sql.types.DataType.fromJson(ck.schema.json())
     out = DataFrame(spark._jsparkSession.internalCreateDataFrame(jrdd, jschema, False), spark)
     out._ckpt_source = ck  # handle for _release_checkpoint
+    aux = getattr(df, "_ckpt_aux", None)
+    if aux is not None:
+        out._ckpt_aux = aux  # intermediate checkpoint freed with this one
     return out
 
 
@@ -124,6 +127,9 @@ def _release_checkpoint(df: Optional[DataFrame]) -> None:
     """
     if df is None:
         return
+    aux = getattr(df, "_ckpt_aux", None)
+    if aux is not None and aux is not df:
+        _release_checkpoint(aux)
     src = getattr(df, "_ckpt_source", df)
     try:
         src._jdf.queryExecution().analyzed().rdd().unpersist(False)
@@ -154,6 +160,10 @@ class CrawlEngine:
         max_pops: Optional[int] = None,
         metrics_level: int = 1,
         enqueue_dir: Optional[str] = None,
+        seq_assign: str = "auto",
+        seq_offset_threshold: int = 50_000,
+        bloom_rebuild_rows: int = 20_000,
+        bloom_rebuild_steps: int = 8,
     ):
         self.spark = spark
         self.web = web
@@ -169,6 +179,23 @@ class CrawlEngine:
         if host_policy is None:
             host_policy = spark.createDataFrame([], HOST_POLICY_SCHEMA)
         self.host_policy = host_policy.persist()
+        # Full RFC 9309 robots gate: when host_policy carries the
+        # untranslated rule lists (robots_to_host_policy emits them),
+        # links are gated by longest-match evaluation — wildcards, '$'
+        # anchors, and Allow overrides — instead of the literal-prefix
+        # gate. host_policy is broadcast-sized by design, so the one-time
+        # driver collect here is scalar-scale metadata, not row data.
+        self._robots_gate = None
+        if policy.obey_robots and "robots_rules" in self.host_policy.columns:
+            from crawler_spark.functions.robots import robots_gate_udf
+
+            rules = {
+                r["host_key"]: [(bool(x["allow"]), x["pat"]) for x in r["robots_rules"]]
+                for r in self.host_policy.select("host_key", "robots_rules").collect()
+                if r["robots_rules"]
+            }
+            if rules:
+                self._robots_gate = robots_gate_udf(spark, rules)
         self.metrics: list[dict] = []
         from concurrent.futures import ThreadPoolExecutor
 
@@ -186,6 +213,24 @@ class CrawlEngine:
                 policy.bloom_bits_per_shard,
                 optimal_k(policy.bloom_bits_per_shard, 1_000_000 // policy.bloom_shards),
             )
+        # LSM-style bloom maintenance: the broadcast shards cover seen
+        # rows with seq < _bloom_cover_seq; newer rows are the "recent"
+        # slice handled by a broadcast anti-join in prefilter_fresh. A
+        # distributed rebuild (BloomShards.build — no driver collect of
+        # row data) folds the slice in every `bloom_rebuild_steps` steps
+        # or when it exceeds `bloom_rebuild_rows` rows.
+        self._bloom_cover_seq = 0
+        self._bloom_recent_rows = 0
+        self._bloom_steps_since_rebuild = 0
+        self.bloom_rebuild_rows = bloom_rebuild_rows
+        self.bloom_rebuild_steps = bloom_rebuild_steps
+        # seq assignment: "window" = single global sort window (fine for
+        # small per-step batches), "offset" = range-partition + per-
+        # partition prefix offsets (no single-task sort — the 100× path),
+        # "auto" = offset once a step's new items exceed the threshold.
+        self.seq_assign = seq_assign
+        self.seq_offset_threshold = seq_offset_threshold
+        self._last_n_items = 0
         # 0 = no per-step metric jobs (throughput runs); 1 = per-step
         # outcome/link counters (C8 metrics, extra Spark jobs per step)
         self.metrics_level = metrics_level
@@ -239,7 +284,8 @@ class CrawlEngine:
         n_invalid = c.where(~F.col("valid")).count()
         frontier = _checkpoint(frontier)
         seq_base = frontier.count()
-        self._bloom_add(frontier)
+        # bloom starts empty with cover_seq=0: every seed sits in the
+        # "recent" slice until the first cadence rebuild — exact by design
         return frontier, _checkpoint(seen), _checkpoint(host_state), seq_base, n_invalid
 
     # ------------------------------------------------------------------ #
@@ -268,11 +314,21 @@ class CrawlEngine:
     def _merge_enqueued(self, frontier, seen, seq_base, step):
         """S2: fold streamed-in tickets into frontier+seen at a tick
         boundary (the batch analog of Enqueue feeding scheduler.NewIn,
-        crawler.go:143-158). Exactly-once: consumed parquet parts are
-        moved aside after materialization."""
+        crawler.go:143-158).
+
+        Exactly-once protocol:
+          * drain_enqueued reads an explicit file list; only THOSE files
+            are consumed below — parts appended by the live stream after
+            the listing stay in place for the next tick (no silent loss).
+          * consumed files are moved (not deleted) to
+            ``enqueue_consumed/step=<step>``; ``resume()`` replays every
+            consumed dir newer than the snapshot it restores, and the
+            seen anti-join here deduplicates any replayed URL that had
+            already reached a committed snapshot — at-least-once replay +
+            exact dedupe = exactly-once URLs."""
         from crawler_spark.streaming.enqueue import drain_enqueued
 
-        drained = drain_enqueued(self.spark, self.enqueue_dir)
+        drained, drained_files = drain_enqueued(self.spark, self.enqueue_dir)
         if drained is None:
             return frontier, seen, seq_base
         w = Window.partitionBy("url").orderBy("url")
@@ -298,25 +354,76 @@ class CrawlEngine:
                 F.lit(0).alias("num_retry"),
                 "seq",
             )))
-            self._bloom_add(fresh)  # bloom must cover ALL seen URLs
-        # move consumed part files aside (fresh/frontier already materialized)
+            self._bloom_recent_rows += n  # enqueued rows join the recent slice
+        # consume EXACTLY the files the drained read listed (parts
+        # appended since the listing drain next tick); fresh/frontier
+        # are already materialized via _checkpoint at this point
         consumed = os.path.join(self.workdir, "enqueue_consumed", f"step={step}")
         os.makedirs(consumed, exist_ok=True)
-        for fn in os.listdir(self.enqueue_dir):
-            if fn.endswith(".parquet") or fn.startswith("part-"):
-                os.rename(os.path.join(self.enqueue_dir, fn), os.path.join(consumed, fn))
+        for path in drained_files:
+            os.rename(path, os.path.join(consumed, os.path.basename(path)))
         return frontier, seen, seq_base + n
 
-    def _bloom_add(self, df: DataFrame) -> None:
-        """Fold newly-seen URL hashes into the bloom shards (tick-sized
-        collect of 8-byte hashes; shards re-broadcast lazily)."""
+    def _replay_consumed_after(self, snapshot_step: int) -> int:
+        """Resume support: consumed enqueue files from merges newer than
+        the restored snapshot never reached a committed state — move them
+        back into enqueue_dir so the next tick re-merges them (the seen
+        anti-join drops anything the snapshot already has). A merge
+        recorded under ``step=k`` is first durable in snapshot k+1, so
+        replay every dir with step >= snapshot_step."""
+        if not self.enqueue_dir:
+            return 0
+        root = os.path.join(self.workdir, "enqueue_consumed")
+        if not os.path.isdir(root):
+            return 0
+        n = 0
+        for d in sorted(os.listdir(root)):
+            if not d.startswith("step="):
+                continue
+            if int(d.split("=", 1)[1]) < snapshot_step:
+                continue
+            src = os.path.join(root, d)
+            for fn in os.listdir(src):
+                os.rename(os.path.join(src, fn),
+                          os.path.join(self.enqueue_dir, f"replay_{d}_{fn}"))
+                n += 1
+            os.rmdir(src)
+        return n
+
+    def _bloom_rebuild(self, seen: DataFrame, cover_seq: int) -> None:
+        """Distributed rebuild of the bloom shards from the full seen set
+        (one applyInPandas pass per shard — the driver receives finished
+        bitmaps only, never row data), advancing the coverage watermark
+        so the recent slice resets to empty."""
         if self.bloom is None:
             return
-        import numpy as np
+        from crawler_spark.operators.bloom import BloomShards
 
-        hashes = [r[0] for r in df.select(F.xxhash64("url")).collect()]
-        if hashes:
-            self.bloom.add_hashes(np.array(hashes, dtype=np.int64))
+        old = self.bloom
+        p = self.policy
+        self.bloom = BloomShards.build(
+            seen.select(F.xxhash64("url").alias("url_hash")),
+            "url_hash",
+            n_shards=p.bloom_shards,
+            bits_per_shard=p.bloom_bits_per_shard,
+            expected_n=max(cover_seq, 1),
+        )
+        old.release()
+        self._bloom_cover_seq = cover_seq
+        self._bloom_recent_rows = 0
+        self._bloom_steps_since_rebuild = 0
+
+    def _bloom_after_step(self, seen: DataFrame, seq_base: int, n_new: int) -> None:
+        """Advance the recent-slice bookkeeping; rebuild on cadence."""
+        if self.bloom is None:
+            return
+        self._bloom_recent_rows += n_new
+        self._bloom_steps_since_rebuild += 1
+        if (
+            self._bloom_recent_rows >= self.bloom_rebuild_rows
+            or self._bloom_steps_since_rebuild >= self.bloom_rebuild_steps
+        ):
+            self._bloom_rebuild(seen, seq_base)
 
     def _web_cols(self):
         web = self.web
@@ -415,13 +522,17 @@ class CrawlEngine:
         if p.same_host_only:
             good = good.where(F.col("host_key") == F.col("p_host"))
         if p.obey_robots:
-            hp = self.host_policy.select("host_key", "robots_disallow")
-            good = good.join(F.broadcast(hp), "host_key", "left").where(
-                ~F.coalesce(
-                    F.exists("robots_disallow", lambda pre: F.col("path").startswith(pre)),
-                    F.lit(False),
-                )
-            ).drop("robots_disallow")
+            if self._robots_gate is not None:
+                # full longest-match evaluation (wildcards / '$' / Allow)
+                good = good.where(self._robots_gate(F.col("host_key"), F.col("path")))
+            else:
+                hp = self.host_policy.select("host_key", "robots_disallow")
+                good = good.join(F.broadcast(hp), "host_key", "left").where(
+                    ~F.coalesce(
+                        F.exists("robots_disallow", lambda pre: F.col("path").startswith(pre)),
+                        F.lit(False),
+                    )
+                ).drop("robots_disallow")
         # first-writer-wins inside the batch: the earliest-emitting parent
         # claims the URL and assigns its depth (handle.go:108-111).
         w = Window.partitionBy("url").orderBy("p_emit", "p_prio", "p_seq", "ordinal")
@@ -429,7 +540,9 @@ class CrawlEngine:
         # exact URL-seen anti-join (north rule: exact set); with bloom
         # enabled, proven-fresh rows skip the shuffle probe (M5)
         if self.bloom is not None:
-            fresh = self.bloom.prefilter_fresh(good, seen.select("url"))
+            fresh = self.bloom.prefilter_fresh(
+                good, seen, recent_min_seq=self._bloom_cover_seq
+            )
         else:
             fresh = good.join(seen.select("url"), "url", "left_anti")
         fresh = (
@@ -492,14 +605,68 @@ class CrawlEngine:
         )
         return resched.unionByName(retry).withColumn("kind", F.lit(1)).withColumn("ordinal", F.lit(-1))
 
+    _SEQ_ORDER = ("p_emit", "p_prio", "p_seq", "kind", "ordinal")
+
     def _assign_seq(self, items: DataFrame, seq_base: int) -> DataFrame:
         """Dense insertion-order seq: sort by (parent emit, parent prio,
         parent seq, kind, ordinal) — the serial scheduler's push order.
-        NOTE: global row_number is a single-task sort of *this step's new
-        items only* (not the frontier); at extreme scale swap for a
-        partition-offset cumulative-count assignment."""
-        w = Window.orderBy("p_emit", "p_prio", "p_seq", "kind", "ordinal")
+        The order key is a strict total order (p_seq unique per parent,
+        ordinal unique per parent link), so both assignment strategies
+        below produce identical seq values:
+
+        * ``window`` — one global row_number window; single-task sort of
+          *this step's new items only*, fine for small batches.
+        * ``offset`` — range-partition on the order key, sort within
+          partitions, then per-partition exclusive prefix offsets (the
+          only driver data is one count per partition). No single-task
+          stage anywhere — the 100×-scale path.
+
+        ``auto`` picks offset once the previous step's batch crossed
+        ``seq_offset_threshold`` (the current batch's size isn't known
+        before an action; neighbour steps are strongly correlated)."""
+        mode = self.seq_assign
+        if mode == "auto":
+            mode = "offset" if self._last_n_items >= self.seq_offset_threshold else "window"
+        if mode == "offset":
+            return self._assign_seq_offset(items, seq_base)
+        w = Window.orderBy(*self._SEQ_ORDER)
         return items.withColumn("seq", (F.row_number().over(w) - 1 + seq_base).cast("long"))
+
+    def _assign_seq_offset(self, items: DataFrame, seq_base: int) -> DataFrame:
+        """Two-pass distributed seq assignment: range-partition by the
+        order key (partition p holds keys ≤ partition p+1), count rows
+        per partition (scalar metadata only), convert to exclusive prefix
+        offsets, then per-partition row_number + offset. Identical values
+        to the global window because the order key is a strict total
+        order — asserted by the crawl-order exact-match E2E suite run in
+        this mode."""
+        spark = items.sparkSession
+        n = max(2, spark.sparkContext.defaultParallelism)
+        d = (
+            items.repartitionByRange(n, *[F.col(c).asc() for c in self._SEQ_ORDER])
+            .sortWithinPartitions(*self._SEQ_ORDER)
+            .withColumn("_pid", F.spark_partition_id())
+        )
+        d = _checkpoint(d)
+        counts = {
+            r["_pid"]: r["n"]
+            for r in d.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+        }
+        offs, acc = [], seq_base
+        for pid in sorted(counts):
+            offs.append((pid, acc))
+            acc += counts[pid]
+        if not offs:
+            offs = [(0, seq_base)]
+        offs_df = self.spark.createDataFrame(offs, "_pid int, _off long")
+        w = Window.partitionBy("_pid").orderBy(*self._SEQ_ORDER)
+        out = (
+            d.join(F.broadcast(offs_df), "_pid")
+            .withColumn("seq", (F.row_number().over(w) - 1 + F.col("_off")).cast("long"))
+            .drop("_pid", "_off")
+        )
+        out._ckpt_aux = d  # released with the step's items checkpoint
+        return out
 
     # ------------------------------------------------------------------ #
     def run(self, seeds: list[str]) -> CrawlResult:
@@ -512,7 +679,9 @@ class CrawlEngine:
             raise RuntimeError("no snapshot to resume from")
         frames = self.store.load(self.spark, m["step"])
         self.metrics = list(m.get("metrics", []))  # restore metric history
-        self._bloom_add(frames["seen"])  # rebuild prefilter from snapshot
+        # distributed rebuild from the snapshot (no driver collect of URLs)
+        self._bloom_rebuild(frames["seen"], m["seq_base"])
+        self._replay_consumed_after(m["step"])
         return self._loop(
             _checkpoint(frames["frontier"]),
             _checkpoint(frames["seen"]),
@@ -596,7 +765,7 @@ class CrawlEngine:
                 raise RuntimeError(f"liveness violation: no pop at e_min={sel.e_min}")
             pops += n_sel
             seq_base += n_items
-            self._bloom_add(items.where("kind = 0"))
+            self._last_n_items = n_items
 
             # ---- state updates ----------------------------------------
             new_frontier_rows = items.select(
@@ -685,6 +854,9 @@ class CrawlEngine:
             for old in (frontier, seen, host_state, fetched, items):
                 _release_checkpoint(old)
             frontier, seen, host_state = new_frontier, new_seen, new_host_state
+            # bloom cadence: fold the recent slice into the shards via a
+            # distributed rebuild when it grows past the broadcast budget
+            self._bloom_after_step(seen, seq_base, n_items)
             if step % 20 == 0:
                 # nudge ContextCleaner: dead broadcast/shuffle refs are only
                 # collected after a JVM GC (see _release_checkpoint docstring)

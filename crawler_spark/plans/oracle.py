@@ -40,6 +40,7 @@ from dataclasses import dataclass, field
 from typing import Optional
 
 from crawler_spark.config import CrawlPolicy
+from crawler_spark.functions.robots import RobotsRules, allowed
 from crawler_spark.functions.urlnorm import canonicalize, resolve
 
 
@@ -56,6 +57,10 @@ class HostPolicy:
     interval_ms: int = 0
     max_visits: Optional[int] = None  # None → policy.max_visits
     robots_disallow: tuple = ()
+    # full (is_allow, pattern) rule list in file order; when non-empty the
+    # gate uses RFC 9309 longest-match (functions/robots.allowed) instead
+    # of the literal-prefix check — mirrors the engine's _robots_gate
+    robots_rules: tuple = ()
 
 
 @dataclass
@@ -216,8 +221,11 @@ def crawl_oracle(
                 if policy.same_host_only and c.host_key != host:
                     reject("link-crosshost")
                     continue
-                if policy.obey_robots and any(
-                    c.path.startswith(p) for p in hp(c.host_key).robots_disallow
+                hpol = hp(c.host_key)
+                if policy.obey_robots and (
+                    (not allowed(RobotsRules(rules=list(hpol.robots_rules)), c.path))
+                    if hpol.robots_rules
+                    else any(c.path.startswith(p) for p in hpol.robots_disallow)
                 ):
                     reject("link-robots")
                     continue

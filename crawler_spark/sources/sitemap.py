@@ -39,7 +39,12 @@ MS = {
     "weekly": 7 * 86_400_000,
     "monthly": 30 * 86_400_000,
     "yearly": 365 * 86_400_000,
-    "never": (1 << 63) - 1,
+    # "never" must stay a *safe* sentinel: it flows into host_policy
+    # interval_ms, and selection computes ready_ms = last_ms + interval_ms
+    # in long arithmetic — 2^63-1 would overflow (ANSI ArithmeticException
+    # or a negative wrap that makes a 'never' host immediately due).
+    # 100 years keeps last_ms + interval_ms < 2^53 for any realistic clock.
+    "never": 100 * 365 * 86_400_000,
 }
 
 # sitemap.go:52-59 time layouts (Go reference) → Python strptime

@@ -90,11 +90,24 @@ def enqueue_stream(
     return writer.start()
 
 
-def drain_enqueued(spark: SparkSession, out_dir: str) -> Optional[DataFrame]:
+def drain_enqueued(
+    spark: SparkSession, out_dir: str
+) -> tuple[Optional[DataFrame], list[str]]:
     """Read the appended ticket rows (engine side: union into the
-    frontier with fresh seq numbers, then clear/advance the directory)."""
-    if not os.path.isdir(out_dir) or not any(
-        f.endswith(".parquet") for f in os.listdir(out_dir)
-    ):
-        return None
-    return spark.read.parquet(out_dir)
+    frontier with fresh seq numbers, then consume the files).
+
+    Returns (df, files): the DataFrame reads EXACTLY the listed files —
+    not the directory — so part files appended by the live stream after
+    this listing are untouched by the caller's consume/rename step and
+    drain in a later tick (the at-least-once half of exactly-once; the
+    seen anti-join provides the at-most-once half)."""
+    if not os.path.isdir(out_dir):
+        return None, []
+    files = sorted(
+        os.path.join(out_dir, f)
+        for f in os.listdir(out_dir)
+        if f.endswith(".parquet")
+    )
+    if not files:
+        return None, []
+    return spark.read.parquet(*files), files

@@ -30,3 +30,32 @@ def test_bloom_crawl_matches_oracle(spark, tmp_path):
     g_seen = {r["url"]: (r["depth"], r["done"]) for r in got.seen.collect()}
     w_seen = {u: (s.depth, s.done) for u, s in want.seen.items()}
     assert g_seen == w_seen
+
+
+def test_bloom_rebuild_cadence_exercised(spark, tmp_path):
+    """Force a tight rebuild cadence (every 2 steps) so the LSM path —
+    broadcast bloom covering the seen prefix + recent-slice anti-join —
+    is exercised with nonempty shards, and still matches the oracle."""
+    fx = synth_web(n_pages=60, n_hosts=5, seed=11)
+    policy = CrawlPolicy(
+        max_depth=6, retry_delay_ms=60,
+        bloom_prefilter=True, bloom_shards=4, bloom_bits_per_shard=1 << 16,
+    )
+    eng = CrawlEngine(
+        spark, fx.web_df(spark), host_policy=fx.host_policy_df(spark),
+        policy=policy, workdir=str(tmp_path / "work"),
+        bloom_rebuild_steps=2, bloom_rebuild_rows=10,
+    )
+    got = eng.run(fx.seeds)
+    assert eng._bloom_cover_seq > 0, "rebuild cadence never fired"
+    assert any(s.any() for s in eng.bloom.shards), "bloom still empty"
+    want = crawl_oracle(
+        fx.seeds, fx.oracle_web(), fx.oracle_host_policy(), policy=policy,
+        ticket_at=policy.ticket_at,
+    )
+    g = [(r["emit_ord"], r["url"], r["emit_ms"]) for r in got.emitted.orderBy("emit_ord").collect()]
+    w = [(e["emit_ord"], e["url"], e["emit_ms"]) for e in want.emitted]
+    assert g == w
+    g_seen = {r["url"]: (r["depth"], r["done"]) for r in got.seen.collect()}
+    w_seen = {u: (s.depth, s.done) for u, s in want.seen.items()}
+    assert g_seen == w_seen

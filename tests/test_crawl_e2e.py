@@ -203,3 +203,20 @@ def test_entry_bfs_checksum(spark):
         f"entry emitted log diverges from serial oracle at "
         f"{next((i for i, (a, b) in enumerate(zip(got, want)) if a != b), 'len')}"
     )
+
+
+def test_offset_seq_assignment_exact(spark, tmp_path, fx_small):
+    """The partition-offset seq path (no single-task sort) must produce
+    the identical crawl to the global-window path — proven by the same
+    oracle exact-match, forced into offset mode for every step."""
+    policy = CrawlPolicy(max_depth=6, retry_delay_ms=60)
+    engine = CrawlEngine(
+        spark, fx_small.web_df(spark), host_policy=fx_small.host_policy_df(spark),
+        policy=policy, workdir=str(tmp_path / "work"), seq_assign="offset",
+    )
+    got = engine.run(fx_small.seeds)
+    want = crawl_oracle(
+        fx_small.seeds, fx_small.oracle_web(), fx_small.oracle_host_policy(),
+        policy=policy, ticket_at=policy.ticket_at,
+    )
+    assert_match(got, want)

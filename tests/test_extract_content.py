@@ -145,3 +145,15 @@ def test_content_udfs(spark):
     df2 = spark.createDataFrame([(gzip.compress(raw), "gzip"), (raw, None)], "b binary, e string")
     out = [bytes(r[0]) for r in df2.select(decompress_udf("b", "e")).collect()]
     assert out == [raw, raw]
+
+
+def test_script_end_clears_sniff_state():
+    """Text after </script> is NOT script content: with both sniff flags
+    set it must be absolute-URL-sniffed, not window.location-sniffed."""
+    from crawler_spark.functions.extract import extract_links
+
+    out = extract_links(
+        "<div><script>var x=1;</script>see http://after.test/x</div>",
+        "http://b.test/", sniff_flags=3,
+    )
+    assert any(c.valid and c.url == "http://after.test/x" for c in out)

@@ -101,3 +101,61 @@ def test_host_policy_feeds_engine(spark, tmp_path):
     assert not any("/admin" in r["url"] for r in rows if r["depth"] > 0), (
         "robots disallow respected for discovered links"
     )
+
+
+def test_dollar_mid_pattern_is_literal():
+    """RFC 9309: only a trailing '$' anchors; mid-pattern '$' is literal."""
+    txt = "User-agent: *\nDisallow: /a$b"
+    r = parse_robots(txt, "*")
+    assert not allowed(r, "/a$b/x")  # rule is a prefix of the path
+    assert allowed(r, "/ab")  # '$' is not "match anything"
+
+
+def test_prefix_safe_rules():
+    from crawler_spark.functions.robots import prefix_safe_rules
+
+    rules = [
+        (False, "/plain"), (False, "/trail*"), (False, "/*.pdf"),
+        (False, "/x$"), (True, "/allowed-ignored"),
+    ]
+    assert prefix_safe_rules(rules) == ["/plain", "/trail"]
+
+
+def test_full_gate_engine_matches_oracle(spark, tmp_path):
+    """Wildcard + Allow-override robots rules: the engine's full
+    longest-match gate (robots_gate_udf) must match the serial oracle
+    evaluating the same rules — and such rules are NOT expressible in
+    the legacy prefix gate (prefix_safe_rules drops them), so this is
+    the discriminating test for the RFC evaluation path."""
+    from crawler_spark.config import CrawlPolicy
+    from crawler_spark.plans.crawl import CrawlEngine
+    from crawler_spark.plans.oracle import HostPolicy, crawl_oracle
+    from crawler_spark.sources.fixtures import synth_web
+
+    fx = synth_web(n_pages=30, n_hosts=3, seed=9, robots_rate=0.5, error_rate=0.0)
+    robots_txt = "User-agent: *\nDisallow: /adm*n/\nAllow: /admin/p1$"
+    robots = spark.createDataFrame(
+        [(h["host_key"], robots_txt) for h in fx.host_policy], ["host_key", "robots_txt"]
+    )
+    hp = robots_to_host_policy(robots)
+    policy = CrawlPolicy(max_depth=5, obey_robots=True)
+    eng = CrawlEngine(
+        spark, fx.web_df(spark), host_policy=hp,
+        policy=policy, workdir=str(tmp_path / "w"),
+    )
+    assert eng._robots_gate is not None, "full gate should be active"
+    got = eng.run(fx.seeds)
+
+    rules = ((False, "/adm*n/"), (True, "/admin/p1$"))
+    oracle_hp = {
+        h["host_key"]: HostPolicy(interval_ms=0, robots_rules=rules)
+        for h in fx.host_policy
+    }
+    want = crawl_oracle(fx.seeds, fx.oracle_web(), oracle_hp, policy=policy,
+                        ticket_at=policy.ticket_at)
+    g = [(r["emit_ord"], r["url"], r["emit_ms"]) for r in got.emitted.orderBy("emit_ord").collect()]
+    w = [(e["emit_ord"], e["url"], e["emit_ms"]) for e in want.emitted]
+    assert g == w
+    assert want.rejected.get("link-robots", 0) > 0, "fixture never hit the gate"
+    g_seen = set(r["url"] for r in got.seen.collect())
+    assert g_seen == set(want.seen)

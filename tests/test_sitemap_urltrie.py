@@ -133,3 +133,15 @@ def test_trap_prefixes_and_filter(spark):
     assert "http://ok.test/a" in urls
     assert "http://trap.test/about" in urls
     assert not any("/cal/" in u for u in urls)
+
+
+def test_never_interval_is_overflow_safe():
+    """MS['never'] flows into host_policy.interval_ms; selection computes
+    last_ms + interval_ms in long arithmetic — the sentinel must leave
+    headroom for any realistic clock value (no ANSI overflow / negative
+    wrap that would make a 'never' host immediately due)."""
+    from crawler_spark.sources.sitemap import MS
+
+    year_3000_ms = 32_503_680_000_000
+    assert MS["never"] + year_3000_ms < (1 << 62)
+    assert MS["never"] > 10 * 365 * 86_400_000  # still "never" in practice

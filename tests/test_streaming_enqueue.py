@@ -31,7 +31,7 @@ def test_enqueue_stream_end_to_end(spark, tmp_path):
     q = enqueue_stream(spark, drop, out, ckpt, lambda: seen, available_now=True)
     q.awaitTermination(120)
 
-    got = drain_enqueued(spark, out)
+    got, _files = drain_enqueued(spark, out)
     rows = {r["url"]: r for r in got.collect()}
     assert set(rows) == {"http://new.test/x", "http://other.test/y"}
     r = rows["http://new.test/x"]
@@ -41,15 +41,15 @@ def test_enqueue_stream_end_to_end(spark, tmp_path):
     _write_seeds(drop, "batch2.txt", ["http://new2.test/z", "http://new.test/x"])
     q2 = enqueue_stream(spark, drop, out, ckpt, lambda: seen, available_now=True)
     q2.awaitTermination(120)
-    got2 = {r["url"] for r in drain_enqueued(spark, out).collect()}
+    got2 = {r["url"] for r in drain_enqueued(spark, out)[0].collect()}
     # new.test/x appears once more (seen set didn't include it — engine-side
     # frontier merge anti-joins again); no duplicate of batch1 contents
     assert got2 == {"http://new.test/x", "http://other.test/y", "http://new2.test/z"}
-    assert drain_enqueued(spark, out).count() == 4  # 2 + 2 appended rows
+    assert drain_enqueued(spark, out)[0].count() == 4  # 2 + 2 appended rows
 
 
 def test_drain_empty(spark, tmp_path):
-    assert drain_enqueued(spark, str(tmp_path / "missing")) is None
+    assert drain_enqueued(spark, str(tmp_path / "missing"))[0] is None
 
 
 def test_engine_merges_enqueued(spark, tmp_path):
@@ -81,4 +81,95 @@ def test_engine_merges_enqueued(spark, tmp_path):
         assert u in urls, f"enqueued {u} was not crawled"
     # consumed files moved aside: a second run sees nothing new
     from crawler_spark.streaming.enqueue import drain_enqueued
-    assert drain_enqueued(spark, out) is None
+    assert drain_enqueued(spark, out)[0] is None
+
+
+def _ticket_part_file(spark, tmp_path, out_dir, name, url):
+    """Write a single-row ticket parquet PART FILE into out_dir (the
+    shape a live enqueue stream's append leaves behind)."""
+    import os
+
+    from crawler_spark.plans.crawl import FRONTIER_SCHEMA
+
+    d = str(tmp_path / f"_tk_{name}")
+    spark.createDataFrame(
+        [(url, "h.test", 0, 0, 0, 999, -1, 0, 0)], FRONTIER_SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(d)
+    part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+    os.rename(os.path.join(d, part), os.path.join(out_dir, f"{name}.parquet"))
+
+
+def test_late_enqueue_files_not_lost(spark, tmp_path, monkeypatch):
+    """The listing→consume race (ADVICE): a part file appended between
+    drain's file listing and the consume step must NOT be swept aside
+    unread — it drains at a later tick and its URL is still crawled."""
+    import os
+
+    import crawler_spark.streaming.enqueue as enq
+    from crawler_spark.config import CrawlPolicy
+    from crawler_spark.plans.crawl import HOST_POLICY_SCHEMA, CrawlEngine
+
+    urls = [f"http://h.test/s{i}" for i in range(4)]
+    web = spark.createDataFrame(
+        [(u, "h.test", 200, [], None) for u in urls],
+        "url string, host_key string, status int, out_links array<string>, redirect_to string",
+    )
+    hp = spark.createDataFrame([("h.test", 50, 1, [])], HOST_POLICY_SCHEMA)
+    out = str(tmp_path / "enq")
+    os.makedirs(out)
+    _ticket_part_file(spark, tmp_path, out, "first", "http://h.test/e0")
+
+    real = enq.drain_enqueued
+    state = {"injected": False}
+
+    def racy(spark_, out_dir):
+        df, files = real(spark_, out_dir)
+        if df is not None and not state["injected"]:
+            state["injected"] = True
+            # simulate the live stream appending between listing and consume
+            _ticket_part_file(spark_, tmp_path, out_dir, "late", "http://h.test/late")
+        return df, files
+
+    monkeypatch.setattr(enq, "drain_enqueued", racy)
+    eng = CrawlEngine(
+        spark, web, host_policy=hp,
+        policy=CrawlPolicy(max_depth=0, obey_robots=False, max_retry=1),
+        workdir=str(tmp_path / "work"), enqueue_dir=out,
+    )
+    got = eng.run(urls)
+    emitted = {r["url"] for r in got.emitted.collect()}
+    assert "http://h.test/e0" in emitted
+    assert "http://h.test/late" in emitted, "late-arriving enqueue file was lost"
+    assert not any(f.endswith(".parquet") for f in os.listdir(out))
+
+
+def test_replay_consumed_after_snapshot(spark, tmp_path):
+    """Consumed enqueue files newer than the restored snapshot are moved
+    back for re-merge (exactly-once across crash/resume); older ones —
+    already durable in the snapshot — are not."""
+    import os
+
+    from crawler_spark.config import CrawlPolicy
+    from crawler_spark.plans.crawl import CrawlEngine
+
+    web = spark.createDataFrame(
+        [("http://h.test/s0", "h.test", 200, [], None)],
+        "url string, host_key string, status int, out_links array<string>, redirect_to string",
+    )
+    out = str(tmp_path / "enq")
+    os.makedirs(out)
+    eng = CrawlEngine(
+        spark, web, policy=CrawlPolicy(max_depth=0, obey_robots=False),
+        workdir=str(tmp_path / "work"), enqueue_dir=out,
+    )
+    for step, name in ((1, "old"), (3, "new")):
+        d = os.path.join(eng.workdir, "enqueue_consumed", f"step={step}")
+        os.makedirs(d)
+        _ticket_part_file(spark, tmp_path, d, name, f"http://h.test/{name}")
+    n = eng._replay_consumed_after(2)
+    assert n == 1
+    replayed = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(replayed) == 1 and "new" in replayed[0]
+    assert os.path.exists(
+        os.path.join(eng.workdir, "enqueue_consumed", "step=1", "old.parquet")
+    )

@@ -36,9 +36,16 @@ class CrawlPolicy:
     # "avail": a ticket's earliest-crawl time = its discovery time — the
     #   engine's deterministic refinement of the reference's At=0 default
     #   (identical order under uniform scores; batchable exactly).
-    # "zero":  faithful preemptive At=0 (reference example policy); only
-    #   the serial selection mode is exact for this.
+    # "zero":  faithful preemptive At=0 (reference example policy); exact
+    #   in batched `exact_zero` selection when score_nonincreasing_depth
+    #   holds (else the engine falls back to serial = one pop per step).
     ticket_at: str = "avail"
+
+    # Structural guarantee consumed by the exact_zero batched selection:
+    # a link's score never exceeds its parent's (true for constant scores
+    # and for the reference example's 1000-100·depth). Engines MUST set
+    # this False for custom score_exprs that can raise score with depth.
+    score_nonincreasing_depth: bool = True
 
     # --- politeness -------------------------------------------------------
     default_interval_ms: int = 0  # per-host crawl interval when host_policy has no row

@@ -306,26 +306,52 @@ def simhash_near_dups(sh: DataFrame, *, radius: int = 3) -> DataFrame:
 # embedding cosine near-dup
 # --------------------------------------------------------------------- #
 def embedding_near_dups(
-    emb: DataFrame, id_col: str, vec_col: str, *, threshold: float = 0.95, srp_bits: int = 12, seed: int = 42
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    threshold: float = 0.95,
+    srp_bits: int = 8,
+    n_tables: int = 6,
+    seed: int = 42,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold.
 
-    Blocked by a sign-random-projection LSH bucket (see
-    operators/similarity.srp_bucket) so only same-bucket pairs are
-    scored; the cosine itself is a JVM higher-order-function expression.
+    Multi-table SRP-LSH blocking (the standard OR-construction): each of
+    ``n_tables`` independent sign-random-projection tables hashes a unit
+    vector to a ``srp_bits``-bit bucket; a pair is a candidate if it
+    collides in ≥1 table, and only candidates are cosine-scored (a JVM
+    higher-order-function expression). A single 12-bit table has ~0.28
+    recall at cosine 0.95 (collision prob (1−θ/π)^bits, θ≈0.318 rad) —
+    the defaults here give 1−(1−p^8)^6 ≈ 0.96 expected recall, measured
+    ≥0.95 on the planted-dup corpus in tests/test_text_dedup.py.
     Returns (id_a, id_b, cosine)."""
     from crawler_spark.operators.similarity import srp_bucket, unit_norm
 
     e = emb.select(F.col(id_col).alias("id"), unit_norm(F.col(vec_col)).alias("v"))
-    e = e.withColumn("bucket", srp_bucket(F.col("v"), bits=srp_bits, seed=seed))
-    a = e.select("bucket", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
-    b = e.select("bucket", F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    tables = F.array(*[
+        F.struct(
+            F.lit(t).alias("tbl"),
+            srp_bucket(F.col("v"), bits=srp_bits, seed=seed + t).alias("bkt"),
+        )
+        for t in range(n_tables)
+    ])
+    b = e.select("id", F.explode(tables).alias("e")).select("id", "e.tbl", "e.bkt")
+    cand = (
+        b.select("tbl", "bkt", F.col("id").alias("id_a"))
+        .join(b.select("tbl", "bkt", F.col("id").alias("id_b")), ["tbl", "bkt"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = e.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    vb = e.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
     dot = F.aggregate(
         F.zip_with("v_a", "v_b", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
     return (
-        a.join(b, "bucket")
-        .where(F.col("id_a") < F.col("id_b"))
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn("cosine", dot)
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")

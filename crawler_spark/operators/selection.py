@@ -61,7 +61,7 @@ INF = 1 << 62
 
 @dataclass
 class Selection:
-    selected: Optional[DataFrame]  # frontier rows + emit_ms, rn
+    selected: Optional[DataFrame]  # frontier rows + emit_ms (fast mode adds rn)
     e_min: Optional[int]  # virtual time of this batch (None = frontier empty)
     n_hosts: int = 0
     _heads: Optional[DataFrame] = None  # persisted intermediate; release() after materializing
@@ -105,16 +105,20 @@ def select_batch(
 
     # Per-host timing head via partial aggregation (no global sort): the
     # min due_ms gives the host's earliest possible pop; emit = max(ready, ·).
+    # n_rows rides along so the driver can skip per-host-cap enforcement
+    # on steps where no host can exceed the cap (the common case).
     heads = (
         frontier.groupBy("host_key")
-        .agg(F.min(due).alias("min_due"))
-        .join(hs, "host_key", "left")
+        .agg(F.min(due).alias("min_due"), F.count("*").alias("n_rows"))
+        .join(F.broadcast(hs), "host_key", "left")
         .withColumn("_iv", F.coalesce(F.col("_interval_ms"), F.lit(default_interval_ms)).cast("long"))
         .withColumn("ready_ms", F.coalesce(F.col("_last_ms") + F.col("_iv"), F.lit(0).cast("long")))
         .withColumn("emit_ms", F.greatest("ready_ms", "min_due"))
-        .select("host_key", "ready_ms", "emit_ms", "_iv")
+        .select("host_key", "ready_ms", "emit_ms", "_iv", "n_rows")
     )
-    heads = heads.persist()
+    if deferred or mode == "fast":
+        # these paths re-read heads (deferred plan / fast-mode e_next)
+        heads = heads.persist()
     if deferred and mode == "exact":
         emin_df = heads.agg(F.min("emit_ms").alias("_e_min"))
         qual = (
@@ -141,49 +145,75 @@ def select_batch(
         )
         return Selection(selected=sel, e_min=None, n_hosts=0, _heads=heads)
 
-    agg = heads.agg(F.min("emit_ms").alias("e_min"), F.count("*").alias("n")).first()
-    e_min, n_hosts = agg["e_min"], agg["n"]
+    agg = heads.agg(
+        F.min("emit_ms").alias("e_min"),
+        F.count("*").alias("n"),
+        F.max("n_rows").alias("max_n"),
+        F.min("_iv").alias("min_iv"),
+        F.max("_iv").alias("max_iv"),
+    ).first()
+    e_min, n_hosts, max_host_rows = agg["e_min"], agg["n"], agg["max_n"]
+    min_iv, max_iv = agg["min_iv"], agg["max_iv"]
     if n_hosts == 0:  # empty frontier — no separate isEmpty() job
-        heads.unpersist()
+        if deferred or mode == "fast":
+            heads.unpersist()
         return Selection(None, None)
 
-    qual = heads.where(F.col("emit_ms") == e_min).select("host_key", "emit_ms", "_iv")
-    # The join prunes the frontier to this step's hosts before any sort.
-    cand = frontier.join(qual, "host_key", "inner").where(due <= e_min)
-    w = Window.partitionBy("host_key").orderBy(F.col("next_ms").asc(), F.col("prio").asc(), F.col("seq").asc())
+    # Candidate admission WITHOUT a frontier⋈heads join: a host qualifies
+    # (emit == e_min) iff ready_host ≤ e_min AND min_due_host ≤ e_min —
+    # and the second conjunct is subsumed row-wise by `due_row ≤ e_min`
+    # (any admitted row proves it; rows with due > e_min are filtered
+    # anyway, and emit ≥ e_min always since e_min is the global min). So
+    # the only per-host data needed is host_state — broadcast-sized BY
+    # DESIGN — not the per-host aggregate. One frontier scan, one
+    # broadcast-hash join, no sort, no 10^5-row qual broadcast (measured:
+    # a 400k-row qual broadcast serialized the whole selection on the
+    # driver; this shape scans + filters at memory bandwidth).
+    cand = (
+        frontier.join(F.broadcast(hs), "host_key", "left")
+        .withColumn("_iv", F.coalesce(F.col("_interval_ms"), F.lit(default_interval_ms)).cast("long"))
+        .withColumn("_ready", F.coalesce(F.col("_last_ms") + F.col("_iv"), F.lit(0).cast("long")))
+        .where((due <= e_min) & (F.col("_ready") <= e_min))
+        .drop("_last_ms", "_interval_ms", "_ready")
+    )
 
     if mode == "serial":
+        # head per host via min_by partial aggregation, then global first
         sel = (
-            cand.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
+            _head_per_host(cand)
             .orderBy(F.col("prio").asc(), F.col("seq").asc())
             .limit(1)
             .withColumn("emit_ms", F.lit(int(e_min)).cast("long"))
             .drop("_iv")
         )
-        return Selection(selected=sel, e_min=int(e_min), n_hosts=int(n_hosts), _heads=heads)
+        return Selection(selected=sel, e_min=int(e_min), n_hosts=int(n_hosts))
 
     # p_min: lower bound on the priority of every pop that can happen at
     # virtual time e_min (any candidate item), so that a same-millisecond
     # child (prio >= its parent's >= p_min) can never preempt an admitted
     # due==e_min item of priority p_min (ties lose on fresh, larger seq).
     # Folded into the selection plan as a broadcast scalar (no driver job).
-    if mode == "exact":
+    if mode in ("exact", "exact_zero"):
         pmin_df = cand.agg(F.min("prio").alias("_p_min"))
         cand = cand.crossJoin(F.broadcast(pmin_df))
-        cond = (due < e_min) | ((due == e_min) & (F.col("prio") == F.col("_p_min")))
-    elif mode == "fast":
-        cond = due <= e_min
-    else:
-        raise ValueError(f"unknown selection mode {mode!r}")
-
-    sel = (
-        cand.where(cond)
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= per_host_cap)
-        .drop("_p_min")
-    )
-    if mode == "exact":
+        if mode == "exact_zero":
+            # Bounded-preemption batch for preemptive At=0 tickets (the
+            # reference example's priority policy): the frontier order is
+            # (next=0, prio, seq) ⇒ priority-first, so a discovered link
+            # can preempt ANY waiting lower-priority item at the same
+            # virtual instant. Finalize exactly the due items at the
+            # global minimum prio: the policy guarantee (child score ≤
+            # parent score ⇒ child prio ≥ parent prio ≥ p_min) plus
+            # larger child seq means no discovery can sort before an
+            # admitted pop; hosts whose heads rank worse than p_min are
+            # deferred a step so same-instant cross-host preemption is
+            # re-decided with the discoveries on the board. ≥1 pop per
+            # step (the p_min item itself) keeps liveness; order-golden
+            # proof = the priority-policy E2E run in this mode.
+            cond = (due <= e_min) & (F.col("prio") == F.col("_p_min"))
+        else:
+            cond = (due < e_min) | ((due == e_min) & (F.col("prio") == F.col("_p_min")))
+        cand = cand.where(cond).drop("_p_min")
         # Claims (first-writer-wins on fresh links) follow pop order, so a
         # pop may only be finalized if no *unfinalized* pop — including
         # pops of items this very batch will discover — can precede it. A
@@ -194,19 +224,91 @@ def select_batch(
         # interval>0 host (its k-th pop at e_min + k·interval would race
         # later-step discoveries at earlier virtual times — observed as a
         # first-writer divergence in the politeness E2E test).
-        sel = sel.where((F.col("rn") == 1) | (F.col("_iv") == 0))
-        sel = sel.withColumn("pop_ms", F.lit(int(e_min)).cast("long"))
-    else:
-        # fast: per-host runs emit k·interval apart (the serial re-key
-        # schedule), capped below the next head emit — exact only when
-        # links don't matter (static frontier) or scores are uniform.
-        sel = sel.withColumn(
+        #
+        # Physical shape: the interval-0 run needs NO per-host rank (every
+        # admitted row pops at e_min) and the interval>0 head is a min_by
+        # aggregate — both partial-aggregated map-side, no frontier sort.
+        # The per-host cap (C10 backpressure) is enforced via the overflow
+        # -host pattern: only rows of the (rare) hosts exceeding the cap
+        # go through a rank window.
+        # homogeneous-interval shortcut (the phase-1 aggregate carries
+        # min/max interval): an all-interval-0 crawl needs only the runs
+        # branch and an all-throttled crawl only the heads branch —
+        # avoiding a dead second scan of the candidate plan per step
+        if max_iv == 0:
+            sel = cand
+            if max_host_rows is not None and max_host_rows > per_host_cap:
+                sel = _cap_per_host(sel, per_host_cap)
+        elif min_iv is not None and min_iv > 0:
+            sel = _head_per_host(cand)
+        else:
+            runs = cand.where(F.col("_iv") == 0)
+            if max_host_rows is not None and max_host_rows > per_host_cap:
+                # only steps where SOME host could exceed the cap pay the
+                # overflow machinery (max_n_rows rides phase 1)
+                runs = _cap_per_host(runs, per_host_cap)
+            sel = runs.unionByName(_head_per_host(cand.where(F.col("_iv") > 0)))
+        sel = sel.withColumn("emit_ms", F.lit(int(e_min)).cast("long")).drop("_iv")
+        return Selection(selected=sel, e_min=int(e_min), n_hosts=int(n_hosts))
+
+    if mode != "fast":
+        raise ValueError(f"unknown selection mode {mode!r}")
+
+    # fast: per-host runs emit k·interval apart (the serial re-key
+    # schedule), capped below the next head emit — exact only when
+    # links don't matter (static frontier) or scores are uniform.
+    w = Window.partitionBy("host_key").orderBy(
+        F.col("next_ms").asc(), F.col("prio").asc(), F.col("seq").asc()
+    )
+    sel = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= per_host_cap)
+        .withColumn(
             "pop_ms",
             F.lit(int(e_min)).cast("long") + (F.col("rn") - 1).cast("long") * F.col("_iv"),
         )
-        e_next_row = heads.where(F.col("emit_ms") > e_min).agg(F.min("emit_ms")).first()
-        e_next = int(e_next_row[0]) if e_next_row[0] is not None else INF
-        sel = sel.where((F.col("pop_ms") == e_min) | (F.col("pop_ms") < e_next))
+    )
+    e_next_row = heads.where(F.col("emit_ms") > e_min).agg(F.min("emit_ms")).first()
+    e_next = int(e_next_row[0]) if e_next_row[0] is not None else INF
+    sel = sel.where((F.col("pop_ms") == e_min) | (F.col("pop_ms") < e_next))
 
     selected = sel.withColumn("emit_ms", F.col("pop_ms")).drop("pop_ms", "_iv")
     return Selection(selected=selected, e_min=int(e_min), n_hosts=int(n_hosts), _heads=heads)
+
+
+def _head_per_host(cand: DataFrame) -> DataFrame:
+    """One row per host — the minimum of the frontier total order
+    (next_ms, prio, seq) — as a min_by aggregation: partial-aggregated
+    map-side, no sort, no window. seq is unique ⇒ deterministic."""
+    cols = [c for c in cand.columns if c != "host_key"]
+    key = F.struct(F.col("next_ms"), F.col("prio"), F.col("seq"))
+    return (
+        cand.groupBy("host_key")
+        .agg(F.min_by(F.struct(*cols), key).alias("_r"))
+        .select("host_key", "_r.*")
+    )
+
+
+def _cap_per_host(rows: DataFrame, cap: int) -> DataFrame:
+    """Keep the first ``cap`` rows per host in the frontier total order.
+    Overflow hosts are rare (C10 backpressure boundary), so only their
+    rows pay a rank window; everything else passes through untouched —
+    a cheap count aggregate instead of a full sort."""
+    over = (
+        rows.groupBy("host_key")
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") > cap)
+        .select("host_key")
+    )
+    over = F.broadcast(over)
+    fast_path = rows.join(over, "host_key", "left_anti")
+    w = Window.partitionBy("host_key").orderBy(
+        F.col("next_ms").asc(), F.col("prio").asc(), F.col("seq").asc()
+    )
+    capped = (
+        rows.join(over, "host_key", "left_semi")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+    return fast_path.unionByName(capped)

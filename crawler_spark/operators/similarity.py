@@ -181,6 +181,70 @@ def ivf_topk(
     )
 
 
+def ivf_build_index(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    index_path: str,
+    *,
+    n_centroids: int = 16,
+    iters: int = 2,
+) -> list[list[float]]:
+    """Build + persist the IVF index ONCE: train centroids (2 full scans
+    per Lloyd iteration), assign every vector, and write the corpus
+    partitioned by ``centroid`` plus a tiny centroids table. Queries then
+    pay a *pruned scan of nprobe partitions* instead of re-training per
+    call (the weakness of calling ivf_topk without centroids).
+
+    Layout (Iceberg-partition semantics over parquet):
+        <index_path>/vectors/centroid=<c>/…   (id, v)
+        <index_path>/centroids/               (centroid, cv)
+    """
+    spark = emb.sparkSession
+    cents = ivf_train(emb, id_col, vec_col, k=n_centroids, iters=iters)
+    assigned = ivf_assign(emb, id_col, vec_col, cents)
+    (
+        assigned.repartition("centroid")
+        .write.mode("overwrite")
+        .partitionBy("centroid")
+        .parquet(index_path + "/vectors")
+    )
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "centroid int, cv array<double>",
+    ).write.mode("overwrite").parquet(index_path + "/centroids")
+    return cents
+
+
+def ivf_query_index(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    k: int = 10,
+    *,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Query a persisted IVF index: read the k×dim centroids table
+    (driver-side scalars), pick the ``nprobe`` nearest cells, and scan
+    ONLY their partitions — ``centroid`` is a partition column, so the
+    filter prunes at the file-listing level (verify with .explain():
+    PartitionFilters: [centroid IN (…)]). Returns (id, score)."""
+    cents = {
+        r["centroid"]: list(r["cv"])
+        for r in spark.read.parquet(index_path + "/centroids").collect()
+    }
+    q = [float(x) for x in query_vec]
+    d2 = {c: sum((a - b) ** 2 for a, b in zip(q, cv)) for c, cv in cents.items()}
+    probe = sorted(d2, key=lambda c: (d2[c], c))[:nprobe]
+    vecs = spark.read.parquet(index_path + "/vectors").where(F.col("centroid").isin(probe))
+    qcol = F.array(*[F.lit(x) for x in q])
+    return (
+        vecs.select("id", cosine(F.col("v"), qcol).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(k)
+    )
+
+
 def ann_topk_srp(
     emb: DataFrame,
     id_col: str,

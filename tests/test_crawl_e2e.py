@@ -220,3 +220,25 @@ def test_offset_seq_assignment_exact(spark, tmp_path, fx_small):
         policy=policy, ticket_at=policy.ticket_at,
     )
     assert_match(got, want)
+
+
+def test_priority_policy_batched_exact(spark, tmp_path):
+    """VERDICT item 6: the preemptive At=0 priority policy in BATCHED
+    mode (exact_zero bounded-preemption) — order-exact vs the serial
+    oracle with more than one pop per step."""
+    fx = synth_web(n_pages=60, n_hosts=4, seed=23, error_rate=0.05)
+    policy = PRIORITY_POLICY
+    engine = CrawlEngine(
+        spark, fx.web_df(spark), host_policy=fx.host_policy_df(spark),
+        policy=policy, workdir=str(tmp_path / "work"),
+    )
+    assert engine.mode == "exact_zero"
+    got = engine.run(fx.seeds)
+    want = crawl_oracle(
+        fx.seeds, fx.oracle_web(), fx.oracle_host_policy(),
+        policy=policy, ticket_at=policy.ticket_at,
+    )
+    assert_match(got, want)
+    assert got.pops > got.steps, (
+        f"batched preemptive mode should multi-pop: {got.pops} pops in {got.steps} steps"
+    )

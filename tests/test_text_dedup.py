@@ -206,3 +206,71 @@ def test_ivf_topk_matches_brute_force_on_clusters(spark):
         emb, "vec_id", "embedding", q, 10, centroids=cents, nprobe=2
     ).collect()]
     assert got == want  # query's cluster fully covered by 2 probes
+
+
+def test_embedding_near_dup_recall_planted(spark):
+    """VERDICT item: the SRP-blocked near-dup operator needs a measured
+    recall-vs-exact number to be trusted as the production dedup path.
+    Planted corpus: 100 random unit vectors + 30 jittered copies
+    (cosine ≈ 0.97); recall of the multi-table LSH operator vs the
+    numpy-exact pair set at threshold 0.95 must be ≥ 0.95."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(100, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(f"b{i:03d}", [float(x) for x in base[i]]) for i in range(100)]
+    for i in range(30):
+        v2 = base[i] + 0.03 * rng.normal(size=64)
+        v2 /= np.linalg.norm(v2)
+        rows.append((f"d{i:03d}", [float(x) for x in v2]))
+
+    M = np.array([r[1] for r in rows])
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = M @ M.T
+    ids = [r[0] for r in rows]
+    truth = {
+        (ids[i], ids[j]) if ids[i] < ids[j] else (ids[j], ids[i])
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if S[i, j] >= 0.95
+    }
+    assert len(truth) >= 25, "fixture must contain planted near-dups"
+
+    emb = spark.createDataFrame(rows, "id string, embedding array<double>")
+    found = {
+        (r["id_a"], r["id_b"]) if r["id_a"] < r["id_b"] else (r["id_b"], r["id_a"])
+        for r in embedding_near_dups(emb, "id", "embedding", threshold=0.95).collect()
+    }
+    assert found <= truth  # candidates are cosine-verified → exact precision
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.95, f"SRP multi-table recall {recall:.3f} < 0.95"
+
+
+def test_ivf_persisted_index(spark, tmp_path):
+    """VERDICT item: IVF must not re-train per query. Build the index
+    once (vectors partitioned by centroid + tiny centroids table); a
+    query must plan as a pruned scan of nprobe partitions and agree with
+    brute force on most of the top-k."""
+    from crawler_spark.operators.similarity import (
+        cosine_topk,
+        ivf_build_index,
+        ivf_query_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = list(emb.orderBy("vec_id").first()["embedding"])
+    idx = str(tmp_path / "ivf")
+    cents = ivf_build_index(emb, "vec_id", "embedding", idx, n_centroids=8)
+    assert len(cents) == 8
+
+    res = ivf_query_index(spark, idx, q, 10, nprobe=4)
+    got = [r["id"] for r in res.collect()]
+    exact = [r["id"] for r in cosine_topk(emb, "vec_id", "embedding", q, 10).collect()]
+    recall = len(set(got) & set(exact)) / 10
+    assert recall >= 0.5, f"IVF recall@10 {recall} too low (nprobe=4/8 cells)"
+
+    # partition pruning evidence: the scan carries a PartitionFilter on
+    # centroid (inputFiles() lists pre-pruning, so inspect the plan)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [centroid" in plan and "IN (" in plan

@@ -591,6 +591,193 @@ def q_crawl_bfs(spark, sf_dir):
     return res.emitted.select("emit_ord", "url", "depth", "status", "outcome").orderBy("emit_ord")
 
 
+def _phash_sql_expr(dialect: str) -> str:
+    """60-bit deterministic perceptual-hash stand-in, expressible in both
+    Spark SQL and DuckDB so the oracle recomputes it independently:
+    base = md5('pg' || group) hex digits packed 4 bits each (group =
+    doc_id % 40); up to (doc_id % 4) planted bit-flips at md5-derived
+    positions — every intra-group pair lands within Hamming 6, modelling
+    the near-dup structure of the input_hint phash column."""
+    if dialect == "spark":
+        def hv(s):
+            return f"CAST(conv({s}, 16, 10) AS BIGINT)"
+        cast_s = "STRING"
+        def xor(a, b):
+            return f"({a} ^ {b})"
+        def shl(a, n):
+            return f"shiftleft({a}, CAST({n} AS INT))"
+    else:
+        def hv(s):
+            return f"CAST(strpos('0123456789abcdef', {s}) - 1 AS BIGINT)"
+        cast_s = "VARCHAR"
+        def xor(a, b):
+            return f"xor({a}, {b})"
+        def shl(a, n):
+            return f"({a} << ({n}))"
+    mg = f"md5(concat('pg', CAST(doc_id % 40 AS {cast_s})))"
+    base = " + ".join(
+        f"{hv(f'substr({mg}, {d + 1}, 1)')} * {1 << (4 * d)}" for d in range(15)
+    )
+    mp = f"md5(concat('pp', CAST(doc_id AS {cast_s})))"
+
+    def pos(j):
+        return (
+            f"(({hv(f'substr({mp}, {2 * j + 1}, 1)')} * 16 + "
+            f"{hv(f'substr({mp}, {2 * j + 2}, 1)')}) % 60)"
+        )
+
+    terms = [
+        f"(CASE WHEN doc_id % 4 > {j} THEN {shl('CAST(1 AS BIGINT)', pos(j))} "
+        f"ELSE CAST(0 AS BIGINT) END)"
+        for j in range(3)
+    ]
+    mask = "(" + " | ".join(terms) + ")"
+    return xor(f"({base})", mask)
+
+
+def q_phash_near_dups(spark, sf_dir):
+    """M6/M7 on the image axis — perceptual-hash Hamming≤6 near-dup
+    pairs via the pigeonhole-blocked join (multimodal.phash_near_dups →
+    radius+1 disjoint bit-blocks → equi-join → bit_count filter; never
+    all-pairs). The oracle recomputes the same phash in SQL and does the
+    exact all-pairs check at sf scale."""
+    from crawler_spark.operators.multimodal import phash_near_dups
+
+    d = _t(spark, sf_dir, "documents")
+    payload = d.select(
+        F.col("doc_id").alias("image_id"),
+        F.expr(_phash_sql_expr("spark")).alias("phash"),
+    )
+    return phash_near_dups(payload, radius=6)
+
+
+# robots_gate fixture: rule table exercising every RFC 9309 feature the
+# production gate implements ('*' wildcards, terminal-'$' anchor,
+# Allow-wins-ties, longest-match precedence, no-rules default-allow)
+_ROBOTS_FIXTURE_RULES = {
+    "a.test": [
+        (False, "/private"),
+        (True, "/private/pub"),
+        (False, "/tmp*"),
+        (False, "/exact$"),
+        (False, "/a*b"),
+    ],
+    "b.test": [(False, "/")],
+    "c.test": [(True, "/"), (False, "/x")],
+}
+_ROBOTS_FIXTURE_HOSTS = ["a.test", "b.test", "c.test", "d.test"]
+_ROBOTS_FIXTURE_PATHS = [
+    "/private/x", "/private/pub/y", "/tmp123", "/exact", "/exact/z",
+    "/x/y", "/ok", "/", "/axxb/c", "/ab",
+]
+
+
+def q_robots_gate(spark, sf_dir):
+    """S10/L4 — the production RFC 9309 longest-match gate
+    (robots_gate_udf → allowed(): '*' wildcards, terminal-'$' anchors
+    only, Allow wins length ties) over a synthesized (host, path)
+    stream; the oracle re-derives every decision in SQL from the same
+    rule table."""
+    from crawler_spark.functions.robots import robots_gate_udf
+
+    ev = _t(spark, sf_dir, "events")
+    hosts = F.array(*[F.lit(h) for h in _ROBOTS_FIXTURE_HOSTS])
+    paths = F.array(*[F.lit(p) for p in _ROBOTS_FIXTURE_PATHS])
+    df = ev.select(
+        "event_id",
+        F.element_at(hosts, (F.col("event_id") % 4).cast("int") + 1).alias("host"),
+        F.element_at(paths, (F.col("event_id") % 10).cast("int") + 1).alias("path"),
+    )
+    gate = robots_gate_udf(spark, _ROBOTS_FIXTURE_RULES)
+    return df.withColumn("allowed", gate("host", "path"))
+
+
+def _robots_gate_oracle_sql() -> str:
+    vals = []
+    for h, rl in _ROBOTS_FIXTURE_RULES.items():
+        for is_allow, pat in rl:
+            if pat.endswith("$") and "*" not in pat:
+                kind = "a"  # terminal anchor: exact path equality
+            elif "*" in pat:
+                kind = "s"  # wildcard: LIKE with '*'->'%'
+            else:
+                kind = "p"  # literal prefix
+            vals.append(f"('{h}', {'TRUE' if is_allow else 'FALSE'}, '{pat}', '{kind}')")
+    hosts = ", ".join(f"'{h}'" for h in _ROBOTS_FIXTURE_HOSTS)
+    paths = ", ".join(f"'{p}'" for p in _ROBOTS_FIXTURE_PATHS)
+    return f"""
+WITH u AS (
+  SELECT event_id,
+         [{hosts}][CAST(event_id % 4 AS INT) + 1] AS host,
+         [{paths}][CAST(event_id % 10 AS INT) + 1] AS path
+  FROM events
+), r(host, is_allow, pat, kind) AS (VALUES {", ".join(vals)}),
+m AS (
+  SELECT u.event_id, u.host, u.path, r.is_allow, length(r.pat) AS plen,
+         CASE r.kind
+           WHEN 'p' THEN starts_with(u.path, r.pat)
+           WHEN 's' THEN u.path LIKE replace(r.pat, '*', '%') || '%'
+           ELSE u.path = substr(r.pat, 1, length(r.pat) - 1)
+         END AS matched
+  FROM u JOIN r ON u.host = r.host
+), b AS (
+  SELECT event_id, host, path,
+         max(CASE WHEN matched AND is_allow THEN plen ELSE -1 END) AS ba,
+         max(CASE WHEN matched AND NOT is_allow THEN plen ELSE -1 END) AS bd
+  FROM m GROUP BY event_id, host, path
+)
+SELECT event_id, host, path, (ba >= bd) AS allowed FROM b
+UNION ALL
+SELECT event_id, host, path, TRUE AS allowed
+FROM u WHERE host NOT IN (SELECT host FROM r)
+"""
+
+
+def q_extract_links(spark, sf_dir):
+    """L1/L2 + U1/U2 — the real HTML link extractor (streaming parser
+    with <base>-tag rebasing) + RFC 3986 resolution + canonicalization
+    (lowercase host, default-port strip, fragment drop) over synthesized
+    pages; the oracle reconstructs the resolved URLs by string algebra
+    from the same page recipe."""
+    from crawler_spark.functions.extract import extractor_udf
+
+    d = _t(spark, sf_dir, "documents")
+    g = (F.col("doc_id") % 50).cast("string")
+    base = F.concat(F.lit("http://d"), g, F.lit(".test/dir/index.html"))
+    html = F.concat(
+        F.lit('<html><head><base href="/sub/"></head><body><a href="p'),
+        F.col("doc_id").cast("string"),
+        F.lit('.html">x</a><a href="//CDN.test:80/img'),
+        F.col("doc_id").cast("string"),
+        F.lit('">y</a><a href="?q='),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit('#frag">z</a></body></html>'),
+    )
+    udf = extractor_udf()
+    return (
+        d.select("doc_id", F.posexplode(udf(base, html)).alias("ordinal", "l"))
+        .select(
+            "doc_id", "ordinal",
+            F.col("l.url").alias("url"),
+            F.col("l.host_key").alias("host_key"),
+        )
+    )
+
+
+_EXTRACT_LINKS_SQL = """
+SELECT doc_id, 0 AS ordinal,
+       'http://d' || (doc_id % 50) || '.test/sub/p' || doc_id || '.html' AS url,
+       'd' || (doc_id % 50) || '.test' AS host_key FROM documents
+UNION ALL
+SELECT doc_id, 1 AS ordinal, 'http://cdn.test/img' || doc_id AS url,
+       'cdn.test' AS host_key FROM documents
+UNION ALL
+SELECT doc_id, 2 AS ordinal,
+       'http://d' || (doc_id % 50) || '.test/sub/?q=' || (doc_id % 7) AS url,
+       'd' || (doc_id % 50) || '.test' AS host_key FROM documents
+"""
+
+
 # ===================================================================== #
 # driver contract
 # ===================================================================== #
@@ -633,6 +820,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "urltrie_census": q_urltrie_census,
         "cache_route": q_cache_route,
         "cache_merge": q_cache_merge,
+        "phash_near_dups": q_phash_near_dups,
+        "robots_gate": q_robots_gate,
+        "extract_links": q_extract_links,
         "crawl_bfs": q_crawl_bfs,
     }
 
@@ -1054,6 +1244,15 @@ def oracle_sql() -> dict[str, str]:
             "HAVING count(DISTINCT eid) >= 5"
         ),
         "cache_merge": _CACHE_MERGE_SQL,
+        "phash_near_dups": (
+            f"WITH ph AS (SELECT doc_id, {_phash_sql_expr('duck')} AS phash FROM documents) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming "
+            "FROM ph a JOIN ph b ON a.doc_id < b.doc_id "
+            "WHERE bit_count(xor(a.phash, b.phash)) <= 6"
+        ),
+        "robots_gate": _robots_gate_oracle_sql(),
+        "extract_links": _EXTRACT_LINKS_SQL,
         "cache_route": (
             "WITH c AS (SELECT o_orderkey, epoch_ms(o_orderdate) AS fetched_ms, "
             "CASE WHEN o_orderstatus = 'O' THEN 157680000000 ELSE 0 END AS max_age_ms, "

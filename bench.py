@@ -60,6 +60,8 @@ def main() -> None:
         "ann_cosine_topk",
         "text_stats",
         "quality_filter",
+        "phash_near_dups",
+        "extract_links",
     ]
     # The minhash/simhash driver entries use the md5 hash family so the
     # DuckDB oracle can recompute them; the benchmark measures the

@@ -107,14 +107,41 @@ def select_batch(
     # min due_ms gives the host's earliest possible pop; emit = max(ready, ·).
     # n_rows rides along so the driver can skip per-host-cap enforcement
     # on steps where no host can exceed the cap (the common case).
-    heads = (
-        frontier.groupBy("host_key")
-        .agg(F.min(due).alias("min_due"), F.count("*").alias("n_rows"))
-        .join(F.broadcast(hs), "host_key", "left")
+    #
+    # p_min rides along too: every candidate row (due ≤ e_min AND
+    # ready_host ≤ e_min) provably lives on a host with emit == e_min
+    # (min_due ≤ due ≤ e_min and ready ≤ e_min force max(ready, min_due)
+    # ≤ e_min, and emit ≥ e_min by minimality), and on such a host the
+    # candidate cutoff IS emit(h): if ready ≤ min_due the candidates are
+    # exactly the min-due rows (their min prio = prio field of the
+    # (due, prio)-lexicographic minimum), else the rows with due ≤ ready
+    # (a plain conditional min — ready is a per-row constant after the
+    # broadcast join). So min-over-candidates(prio) folds into this same
+    # aggregation and the separate p_min scan of the frontier disappears
+    # (3 scans/step → 2).
+    enriched = (
+        frontier.join(F.broadcast(hs), "host_key", "left")
         .withColumn("_iv", F.coalesce(F.col("_interval_ms"), F.lit(default_interval_ms)).cast("long"))
-        .withColumn("ready_ms", F.coalesce(F.col("_last_ms") + F.col("_iv"), F.lit(0).cast("long")))
+        .withColumn("_ready", F.coalesce(F.col("_last_ms") + F.col("_iv"), F.lit(0).cast("long")))
+    )
+    heads = (
+        enriched.groupBy("host_key")
+        .agg(
+            F.min(due).alias("min_due"),
+            F.count("*").alias("n_rows"),
+            F.first("_ready").alias("ready_ms"),
+            F.first("_iv").alias("_iv"),
+            F.min(F.when(due <= F.col("_ready"), F.col("prio"))).alias("_p_le_ready"),
+            F.min(F.struct(due.alias("d"), F.col("prio").alias("p"))).alias("_dp"),
+        )
         .withColumn("emit_ms", F.greatest("ready_ms", "min_due"))
-        .select("host_key", "ready_ms", "emit_ms", "_iv", "n_rows")
+        .withColumn(
+            "_host_pmin",
+            F.when(F.col("ready_ms") <= F.col("min_due"), F.col("_dp")["p"]).otherwise(
+                F.col("_p_le_ready")
+            ),
+        )
+        .select("host_key", "ready_ms", "emit_ms", "_iv", "n_rows", "_host_pmin")
     )
     if deferred or mode == "fast":
         # these paths re-read heads (deferred plan / fast-mode e_next)
@@ -130,7 +157,11 @@ def select_batch(
         w = Window.partitionBy("host_key").orderBy(
             F.col("next_ms").asc(), F.col("prio").asc(), F.col("seq").asc()
         )
-        pmin_df = cand.agg(F.min("prio").alias("_p_min"))
+        # p_min from the persisted per-host heads (lexicographic min picks
+        # the best host-pmin among emit==e_min hosts) — no frontier rescan
+        pmin_df = heads.agg(
+            F.min(F.struct(F.col("emit_ms"), F.col("_host_pmin"))).alias("_ep")
+        ).select(F.col("_ep")["_host_pmin"].alias("_p_min"))
         cand = cand.crossJoin(F.broadcast(pmin_df))
         cond = (due < F.col("_e_min")) | (
             (due == F.col("_e_min")) & (F.col("prio") == F.col("_p_min"))
@@ -151,9 +182,12 @@ def select_batch(
         F.max("n_rows").alias("max_n"),
         F.min("_iv").alias("min_iv"),
         F.max("_iv").alias("max_iv"),
+        # lexicographic min: (e_min, min host-pmin among emit==e_min hosts)
+        F.min(F.struct(F.col("emit_ms").alias("e"), F.col("_host_pmin").alias("p"))).alias("_ep"),
     ).first()
     e_min, n_hosts, max_host_rows = agg["e_min"], agg["n"], agg["max_n"]
     min_iv, max_iv = agg["min_iv"], agg["max_iv"]
+    p_min = agg["_ep"]["p"] if agg["_ep"] is not None else None
     if n_hosts == 0:  # empty frontier — no separate isEmpty() job
         if deferred or mode == "fast":
             heads.unpersist()
@@ -192,10 +226,10 @@ def select_batch(
     # virtual time e_min (any candidate item), so that a same-millisecond
     # child (prio >= its parent's >= p_min) can never preempt an admitted
     # due==e_min item of priority p_min (ties lose on fresh, larger seq).
-    # Folded into the selection plan as a broadcast scalar (no driver job).
+    # Computed inside the phase-1 aggregation (see heads) — a plan
+    # literal here, no extra frontier scan.
     if mode in ("exact", "exact_zero"):
-        pmin_df = cand.agg(F.min("prio").alias("_p_min"))
-        cand = cand.crossJoin(F.broadcast(pmin_df))
+        cand = cand.withColumn("_p_min", F.lit(p_min).cast("int"))
         if mode == "exact_zero":
             # Bounded-preemption batch for preemptive At=0 tickets (the
             # reference example's priority policy): the frontier order is

@@ -126,9 +126,11 @@ def ivf_train(
     emb: DataFrame, id_col: str, vec_col: str, *, k: int = 16, iters: int = 2
 ) -> list[list[float]]:
     """Deterministic mini k-means: init = first k vectors by id, then
-    ``iters`` Lloyd steps computed with DataFrame aggregations (explode
-    by dimension → per-(centroid, dim) mean). k×dim floats come back to
-    the driver — the 'model' is tiny and ships as plan literals."""
+    ``iters`` Lloyd steps, each ONE scan + ONE groupBy(centroid) whose
+    per-dimension sums partial-aggregate map-side — only k×(dim+1)
+    values cross the shuffle (vs n×dim rows for an explode-by-dimension
+    plan). k×dim floats come back to the driver — the 'model' is tiny
+    and ships as plan literals."""
     cents = [
         [float(x) for x in r[vec_col]]
         for r in emb.orderBy(id_col).limit(k).collect()
@@ -137,15 +139,17 @@ def ivf_train(
     for _ in range(iters):
         assigned = ivf_assign(emb, id_col, vec_col, cents)
         rows = (
-            assigned.select("centroid", F.posexplode("v").alias("pos", "x"))
-            .groupBy("centroid", "pos")
-            .agg(F.avg("x").alias("m"))
+            assigned.groupBy("centroid")
+            .agg(
+                F.count("*").alias("n"),
+                *[F.sum(F.col("v")[d]).alias(f"s{d}") for d in range(dim)],
+            )
             .collect()
         )
-        new = {(r["centroid"], r["pos"]): r["m"] for r in rows}
-        cents = [
-            [new.get((ci, d), cents[ci][d]) for d in range(dim)] for ci in range(k)
-        ]
+        new = {
+            r["centroid"]: [r[f"s{d}"] / r["n"] for d in range(dim)] for r in rows
+        }
+        cents = [new.get(ci, cents[ci]) for ci in range(k)]
     return cents
 
 

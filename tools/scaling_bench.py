@@ -127,6 +127,14 @@ def tick():
 
 tick_sec = best(tick)
 
+# ---- leg B': scan ceiling ---------------------------------------------
+# A pure filter-count over the SAME cached frontier: no shuffle, no
+# Python — the in-run measurement of this host's shared-memory-bandwidth
+# scaling ceiling, the bound the tick kernel's cached-scan legs live
+# under (a real 4N cluster multiplies memory systems; one host doesn't).
+scan_sec = best(lambda: frontier.where(
+    (F.col("next_ms") <= 0) & (F.col("seq") % 97 != 0)).count())
+
 # ---- leg C: shuffle agg ------------------------------------------------
 ev = spark.range(100_000_000, numPartitions=32).select(
     (F.col("id") % N_HOSTS).alias("host"), (F.col("id") % 997).cast("double").alias("v"))
@@ -158,6 +166,7 @@ print(json.dumps(dict(
     canon_sec=round(canon_sec, 2),
     canon_urls_per_sec=round(N_URLS * 2 / canon_sec, 0),
     tick_sec=round(tick_sec, 2),
+    scan_sec=round(scan_sec, 2),
     agg_sec=round(agg_sec, 2),
     crawl_sec=round(crawl_sec, 2), pops=res.pops,
     loop_urls_per_sec=round(res.pops / crawl_sec, 2),
@@ -193,6 +202,7 @@ def main():
         sf_dir=args.sf_dir, n=args.n, low=lo, high=hi,
         scaling_efficiency_canon=eff(lo["canon_sec"], hi["canon_sec"]),
         scaling_efficiency_tick=eff(lo["tick_sec"], hi["tick_sec"]),
+        scaling_efficiency_scan_ceiling=eff(lo["scan_sec"], hi["scan_sec"]),
         scaling_efficiency_agg=eff(lo["agg_sec"], hi["agg_sec"]),
     )
     print(json.dumps(result))

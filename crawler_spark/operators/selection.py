@@ -291,22 +291,50 @@ def select_batch(
     # fast: per-host runs emit k·interval apart (the serial re-key
     # schedule), capped below the next head emit — exact only when
     # links don't matter (static frontier) or scores are uniform.
-    w = Window.partitionBy("host_key").orderBy(
-        F.col("next_ms").asc(), F.col("prio").asc(), F.col("seq").asc()
-    )
-    sel = (
-        cand.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= per_host_cap)
-        .withColumn(
-            "pop_ms",
-            F.lit(int(e_min)).cast("long") + (F.col("rn") - 1).cast("long") * F.col("_iv"),
+    #
+    # Physical shape mirrors exact mode: interval-0 rows all pop AT e_min
+    # (pop_ms ≡ e_min for every rank) so they need NO window — only the
+    # per-host cap, enforced via the overflow-host pattern. Only
+    # interval>0 rows pay a rank window, for the k·interval stagger and
+    # the < e_next truncation; an all-interval-0 throughput crawl is
+    # fully window-free in this mode too.
+    def _stagger(rows: DataFrame) -> DataFrame:
+        w = Window.partitionBy("host_key").orderBy(
+            F.col("next_ms").asc(), F.col("prio").asc(), F.col("seq").asc()
         )
-    )
-    e_next_row = heads.where(F.col("emit_ms") > e_min).agg(F.min("emit_ms")).first()
-    e_next = int(e_next_row[0]) if e_next_row[0] is not None else INF
-    sel = sel.where((F.col("pop_ms") == e_min) | (F.col("pop_ms") < e_next))
+        e_next_row = heads.where(F.col("emit_ms") > e_min).agg(F.min("emit_ms")).first()
+        e_next = int(e_next_row[0]) if e_next_row[0] is not None else INF
+        return (
+            rows.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= per_host_cap)
+            .withColumn(
+                "pop_ms",
+                F.lit(int(e_min)).cast("long")
+                + (F.col("rn") - 1).cast("long") * F.col("_iv"),
+            )
+            .where((F.col("pop_ms") == e_min) | (F.col("pop_ms") < e_next))
+            .withColumn("emit_ms", F.col("pop_ms"))
+            .drop("pop_ms")
+        )
 
-    selected = sel.withColumn("emit_ms", F.col("pop_ms")).drop("pop_ms", "_iv")
+    def _runs0(rows: DataFrame) -> DataFrame:
+        if max_host_rows is not None and max_host_rows > per_host_cap:
+            rows = _cap_per_host(rows, per_host_cap)
+        # rn column kept for schema parity with the stagger branch
+        return rows.withColumn("rn", F.lit(1)).withColumn(
+            "emit_ms", F.lit(int(e_min)).cast("long")
+        )
+
+    if max_iv == 0:
+        selected = _runs0(cand).drop("_iv")
+    elif min_iv is not None and min_iv > 0:
+        selected = _stagger(cand).drop("_iv")
+    else:
+        selected = (
+            _runs0(cand.where(F.col("_iv") == 0))
+            .unionByName(_stagger(cand.where(F.col("_iv") > 0)))
+            .drop("_iv")
+        )
     return Selection(selected=selected, e_min=int(e_min), n_hosts=int(n_hosts), _heads=heads)
 
 

@@ -194,8 +194,8 @@ def ivf_build_index(
     n_centroids: int = 16,
     iters: int = 2,
 ) -> list[list[float]]:
-    """Build + persist the IVF index ONCE: train centroids (2 full scans
-    per Lloyd iteration), assign every vector, and write the corpus
+    """Build + persist the IVF index ONCE: train centroids (one scan per
+    Lloyd iteration), assign every vector, and write the corpus
     partitioned by ``centroid`` plus a tiny centroids table. Queries then
     pay a *pruned scan of nprobe partitions* instead of re-training per
     call (the weakness of calling ivf_topk without centroids).

@@ -791,7 +791,11 @@ class CrawlEngine:
             items = _checkpoint(items)
             # ONE counting job for the whole step: batch size, new-item
             # count, per-outcome metrics, and link stats (the lk scan hits
-            # the cache the items checkpoint just filled)
+            # the cache the items checkpoint just filled). Submitted
+            # CONCURRENTLY with the three state checkpoints below — the
+            # counts only feed driver bookkeeping and the rare terminal /
+            # liveness branch, and the state plans never read them, so the
+            # step pays ONE wall latency for all four jobs.
             probe = fetched.select(F.lit("s").alias("t"), F.col("outcome").alias("k")).unionAll(
                 items.select(F.lit("i").alias("t"), F.lit(None).cast("string").alias("k"))
             )
@@ -799,31 +803,9 @@ class CrawlEngine:
                 probe = probe.unionAll(
                     lk.select(F.lit("l").alias("t"), F.col("valid").cast("string").alias("k"))
                 )
-            cnt_rows = probe.groupBy("t", "k").agg(F.count("*").alias("n")).collect()
-            if lk is not None:
-                lk.unpersist()
-            n_sel = sum(r["n"] for r in cnt_rows if r["t"] == "s")
-            n_items = sum(r["n"] for r in cnt_rows if r["t"] == "i")
-            counts = {r["k"]: r["n"] for r in cnt_rows if r["t"] == "s"}
-            link_stats = {}
-            if lk is not None:
-                link_stats = {
-                    "links_raw": sum(r["n"] for r in cnt_rows if r["t"] == "l"),
-                    "links_invalid": sum(
-                        r["n"] for r in cnt_rows if r["t"] == "l" and r["k"] == "false"
-                    ),
-                }
-            if n_sel == 0:
-                if deferred and frontier.isEmpty():
-                    step -= 1  # empty tail step: frontier drained — IsFinished
-                    self._emit_buf.pop()  # nothing was emitted this step
-                    _release_checkpoint(fetched)
-                    _release_checkpoint(items)
-                    break
-                raise RuntimeError(f"liveness violation: no pop at e_min={sel.e_min}")
-            pops += n_sel
-            seq_base += n_items
-            self._last_n_items = n_items
+            c_fut = self._pool.submit(
+                probe.groupBy("t", "k").agg(F.count("*").alias("n")).collect
+            )
 
             # ---- state updates ----------------------------------------
             new_frontier_rows = items.select(
@@ -897,9 +879,35 @@ class CrawlEngine:
             f_fut = self._pool.submit(_checkpoint, new_frontier_plan)
             s_fut = self._pool.submit(_checkpoint, new_seen)
             h_fut = self._pool.submit(_checkpoint, new_host_state)
+
+            cnt_rows = c_fut.result()
+            if lk is not None:
+                lk.unpersist()
+            n_sel = sum(r["n"] for r in cnt_rows if r["t"] == "s")
+            n_items = sum(r["n"] for r in cnt_rows if r["t"] == "i")
+            counts = {r["k"]: r["n"] for r in cnt_rows if r["t"] == "s"}
+            link_stats = {}
+            if lk is not None:
+                link_stats = {
+                    "links_raw": sum(r["n"] for r in cnt_rows if r["t"] == "l"),
+                    "links_invalid": sum(
+                        r["n"] for r in cnt_rows if r["t"] == "l" and r["k"] == "false"
+                    ),
+                }
             new_frontier = f_fut.result()
             new_seen = s_fut.result()
             new_host_state = h_fut.result()
+            if n_sel == 0:
+                if deferred and frontier.isEmpty():
+                    step -= 1  # empty tail step: frontier drained — IsFinished
+                    self._emit_buf.pop()  # nothing was emitted this step
+                    for nf in (fetched, items, new_frontier, new_seen, new_host_state):
+                        _release_checkpoint(nf)
+                    break
+                raise RuntimeError(f"liveness violation: no pop at e_min={sel.e_min}")
+            pops += n_sel
+            seq_base += n_items
+            self._last_n_items = n_items
 
             # free the previous generation's checkpoint blocks + step
             # frames (fetched stays alive in the emit buffer until flush)

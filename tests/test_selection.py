@@ -120,6 +120,28 @@ def test_multi_pop_batch_matches_serial(spark):
     assert [int(r["url"].rsplit("/", 1)[1]) for r in got] == list(range(10))
 
 
+def test_fast_mixed_intervals(spark):
+    # fast mode with interval-0 AND throttled hosts in one batch: the
+    # interval-0 run takes the window-free branch (every pop at e_min)
+    # while the throttled host staggers k·interval — union of the two
+    items = [
+        ("http://a.example.com/0", "a.example.com", 0, 0, 0),
+        ("http://a.example.com/1", "a.example.com", 0, 0, 1),
+        ("http://a.example.com/2", "a.example.com", 0, 0, 2),
+        ("http://b.example.com/0", "b.example.com", 0, 0, 3),
+        ("http://b.example.com/1", "b.example.com", 0, 0, 4),
+    ]
+    got = drain(spark, items, host_intervals={"b.example.com": 50}, mode="fast")
+    emits = {(r["url"], r["emit_ms"]) for r in got}
+    assert emits == {
+        ("http://a.example.com/0", 0),
+        ("http://a.example.com/1", 0),
+        ("http://a.example.com/2", 0),
+        ("http://b.example.com/0", 0),
+        ("http://b.example.com/1", 50),
+    }
+
+
 def test_deferred_selection_equals_eager(spark):
     """deferred=True folds e_min into the plan; selected rows must be
     identical to the eager path."""

@@ -128,12 +128,18 @@ def tick():
 tick_sec = best(tick)
 
 # ---- leg B': scan ceiling ---------------------------------------------
-# A pure filter-count over the SAME cached frontier: no shuffle, no
-# Python — the in-run measurement of this host's shared-memory-bandwidth
-# scaling ceiling, the bound the tick kernel's cached-scan legs live
-# under (a real 4N cluster multiplies memory systems; one host doesn't).
-scan_sec = best(lambda: frontier.where(
-    (F.col("next_ms") <= 0) & (F.col("seq") % 97 != 0)).count())
+# A shuffle-free scan+reduce over the SAME cached frontier (string and
+# long columns both touched, trivial per-row compute): the in-run
+# measurement of this host's shared-memory-bandwidth scaling ceiling,
+# the bound the tick kernel's cached-scan legs live under (a real 4N
+# cluster multiplies memory systems; one host doesn't). Sized to run
+# seconds, not sub-second, so job-scheduling latency doesn't masquerade
+# as the ceiling.
+scan_sec = best(lambda: frontier.agg(
+    F.sum(F.col("seq") + F.col("next_ms")),
+    F.sum(F.length("url")),
+    F.sum(F.length("host_key")),
+    F.count(F.when(F.col("seq") % 97 == 0, 1))).collect())
 
 # ---- leg C: shuffle agg ------------------------------------------------
 ev = spark.range(100_000_000, numPartitions=32).select(

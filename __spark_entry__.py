@@ -519,6 +519,84 @@ WHERE action <> 'drop' AND NOT (action = 'old' AND curl IS NULL)
 """
 
 
+def q_cache_evict(spark, sf_dir):
+    """S5 size-bounded cache eviction (cache.go:202-208; deterministic
+    newest-first refinement): keep the most recently fetched entries
+    within a byte budget, ties by url."""
+    from crawler_spark.operators.cache import evict_cache
+
+    od = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    cache = od.where(k % 3 != 0).select(
+        F.concat(F.lit("u"), k.cast("string")).alias("url"),
+        (F.lit(800_000_000_000) + (k % 1000) * 1000).cast("long").alias("fetched_ms"),
+        (k % 500).cast("long").alias("body_bytes"),
+    )
+    return evict_cache(cache, 200_000).select("url", "fetched_ms", "body_bytes")
+
+
+_CACHE_EVICT_SQL = """
+WITH c AS (
+  SELECT 'u' || o_orderkey AS url,
+    CAST(800000000000 + (o_orderkey % 1000) * 1000 AS BIGINT) AS fetched_ms,
+    CAST(o_orderkey % 500 AS BIGINT) AS body_bytes
+  FROM orders WHERE o_orderkey % 3 <> 0
+)
+SELECT url, fetched_ms, body_bytes FROM (
+  SELECT *, SUM(COALESCE(body_bytes, 0)) OVER (
+    ORDER BY fetched_ms DESC, url ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM c
+) WHERE cum <= 200000
+"""
+
+
+def q_host_budget_cancel(spark, sf_dir):
+    """C6 — per-host fetch-budget cancellation (make.go:56-62,
+    schedule.go:94-101; example controller cancels hosts past 500
+    responses): within-batch rank follows emission order (emit_ms, prio,
+    seq), pops past the budget are Prepare-cancelled."""
+    from crawler_spark.plans.crawl import tag_cancelled
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 30_000)
+    selected = ev.select(
+        F.concat(F.lit("u"), (F.col("user_id") % 40).cast("string"), F.lit(".t")).alias("host_key"),
+        F.col("event_id").alias("seq"),
+        (F.col("event_id") % 97).cast("long").alias("emit_ms"),
+        (F.col("event_id") % 11).cast("int").alias("prio"),
+    )
+    host_state = (
+        ev.groupBy((F.col("user_id") % 40).alias("h"))
+        .agg(F.count("*").alias("c"))
+        .select(
+            F.concat(F.lit("u"), F.col("h").cast("string"), F.lit(".t")).alias("host_key"),
+            (F.col("c") % 7).cast("long").alias("n_resp"),
+        )
+    )
+    return tag_cancelled(selected, host_state, 500).select(
+        "host_key", "seq", "cancelled"
+    )
+
+
+_HOST_BUDGET_SQL = """
+WITH sel AS (
+  SELECT 'u' || (user_id % 40) || '.t' AS host_key,
+    event_id AS seq,
+    CAST(event_id % 97 AS BIGINT) AS emit_ms,
+    CAST(event_id % 11 AS INT) AS prio
+  FROM events WHERE event_id < 30000
+), hs AS (
+  SELECT 'u' || (user_id % 40) || '.t' AS host_key,
+    CAST(COUNT(*) % 7 AS BIGINT) AS n_resp
+  FROM events WHERE event_id < 30000 GROUP BY user_id % 40
+)
+SELECT s.host_key, s.seq,
+  (COALESCE(h.n_resp, 0) + ROW_NUMBER() OVER (
+     PARTITION BY s.host_key ORDER BY s.emit_ms, s.prio, s.seq)) > 500 AS cancelled
+FROM sel s LEFT JOIN hs h ON s.host_key = h.host_key
+"""
+
+
 # ===================================================================== #
 # the crawl engine itself, driven from testdata (rows-only check)
 # ===================================================================== #
@@ -820,6 +898,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "urltrie_census": q_urltrie_census,
         "cache_route": q_cache_route,
         "cache_merge": q_cache_merge,
+        "cache_evict": q_cache_evict,
+        "host_budget_cancel": q_host_budget_cancel,
         "phash_near_dups": q_phash_near_dups,
         "robots_gate": q_robots_gate,
         "extract_links": q_extract_links,
@@ -1244,6 +1324,8 @@ def oracle_sql() -> dict[str, str]:
             "HAVING count(DISTINCT eid) >= 5"
         ),
         "cache_merge": _CACHE_MERGE_SQL,
+        "cache_evict": _CACHE_EVICT_SQL,
+        "host_budget_cancel": _HOST_BUDGET_SQL,
         "phash_near_dups": (
             f"WITH ph AS (SELECT doc_id, {_phash_sql_expr('duck')} AS phash FROM documents) "
             "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "

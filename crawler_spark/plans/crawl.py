@@ -137,6 +137,32 @@ def _release_checkpoint(df: Optional[DataFrame]) -> None:
         pass  # plan is not a LogicalRDD (never checkpointed) — nothing to free
 
 
+def tag_cancelled(
+    selected: DataFrame, host_state: DataFrame, budget: Optional[int]
+) -> DataFrame:
+    """C6 host budget: pops past ``budget`` total fetches per host are
+    cancelled in Prepare and complete without a fetch (make.go:56-62,
+    schedule.go:94-101). Within-batch rank follows emission order
+    (emit_ms, prio, seq) so the budget boundary matches the serial
+    schedule. host_state carries the host's prior response count
+    ``n_resp``; broadcast-sized by design."""
+    if budget is None:
+        return selected.withColumn("cancelled", F.lit(False))
+    hs = host_state.select(
+        "host_key", F.coalesce("n_resp", F.lit(0)).alias("_n_resp")
+    )
+    w = Window.partitionBy("host_key").orderBy("emit_ms", "prio", "seq")
+    return (
+        selected.join(F.broadcast(hs), "host_key", "left")
+        .withColumn("_rk", F.row_number().over(w))
+        .withColumn(
+            "cancelled",
+            (F.coalesce("_n_resp", F.lit(0)) + F.col("_rk")) > F.lit(budget),
+        )
+        .drop("_n_resp", "_rk")
+    )
+
+
 @dataclass
 class CrawlResult:
     emitted: DataFrame  # crawl order log with emit_ord
@@ -304,26 +330,7 @@ class CrawlEngine:
 
     # ------------------------------------------------------------------ #
     def _tag_cancelled(self, selected: DataFrame, host_state: DataFrame) -> DataFrame:
-        """C6 host budget: pops past max_fetches_per_host are cancelled
-        in Prepare and complete without a fetch (make.go:56-62,
-        schedule.go:94-101). Within-batch rank follows emission order so
-        the budget boundary matches the serial schedule."""
-        b = self.policy.max_fetches_per_host
-        if b is None:
-            return selected.withColumn("cancelled", F.lit(False))
-        hs = host_state.select(
-            "host_key", F.coalesce("n_resp", F.lit(0)).alias("_n_resp")
-        )
-        w = Window.partitionBy("host_key").orderBy("emit_ms", "prio", "seq")
-        return (
-            selected.join(F.broadcast(hs), "host_key", "left")
-            .withColumn("_rk", F.row_number().over(w))
-            .withColumn(
-                "cancelled",
-                (F.coalesce("_n_resp", F.lit(0)) + F.col("_rk")) > F.lit(b),
-            )
-            .drop("_n_resp", "_rk")
-        )
+        return tag_cancelled(selected, host_state, self.policy.max_fetches_per_host)
 
     def _merge_enqueued(self, frontier, seen, seq_base, step):
         """S2: fold streamed-in tickets into frontier+seen at a tick

@@ -49,6 +49,7 @@ from crawler_spark.functions.urlnorm import resolve_links_udf
 import __spark_entry__ as entrymod
 
 cpus = int(sys.argv[1]); sf_dir = sys.argv[2]
+scale = float(sys.argv[3]) if len(sys.argv) > 3 else 1.0
 # Shuffle storage on tmpfs: a real 4N-node cluster brings 4N nodes'
 # local NVMe for shuffle files; a single shared root disk under 4N
 # concurrent writers models a pathological cluster instead (measured:
@@ -65,9 +66,11 @@ spark = get_spark(app_name=f"scaling-{{cpus}}", master=f"local[{{cpus}}]",
                   }})
 spark.sparkContext.setLogLevel("ERROR")
 
-N_FRONTIER = 48_000_000
-N_HOSTS = 1_200_000
-N_URLS = 5_000_000  # x2 refs per row = 10M canonicalizations
+N_FRONTIER = int(48_000_000 * scale)
+N_HOSTS = int(1_200_000 * scale)
+N_URLS = int(5_000_000 * scale)  # x2 refs per row = 10M canonicalizations
+N_AGG = int(100_000_000 * scale)
+N_CAND = int(24_000_000 * scale)
 
 def _steal():
     with open("/proc/stat") as f:
@@ -111,7 +114,7 @@ frontier = spark.range(N_FRONTIER, numPartitions=32).select(
 frontier.count()
 seen = frontier.select("url").persist(); seen.count()
 host_state = spark.createDataFrame([], HOST_STATE_SCHEMA)
-cand = spark.range(24_000_000, numPartitions=32).select(
+cand = spark.range(N_CAND, numPartitions=32).select(
     F.concat(F.lit("http://h"), ((F.col("id") * 13) % N_HOSTS).cast("string"),
              F.lit(".test/p"), ((F.col("id") * 7) % (N_FRONTIER * 2)).cast("string")).alias("url"),
     F.col("id").alias("p_seq"),
@@ -142,7 +145,7 @@ scan_sec = best(lambda: frontier.agg(
     F.count(F.when(F.col("seq") % 97 == 0, 1))).collect())
 
 # ---- leg C: shuffle agg ------------------------------------------------
-ev = spark.range(100_000_000, numPartitions=32).select(
+ev = spark.range(N_AGG, numPartitions=32).select(
     (F.col("id") % N_HOSTS).alias("host"), (F.col("id") % 997).cast("double").alias("v"))
 agg_sec = best(lambda: ev.groupBy("host").agg(
     F.count("*").alias("n"), F.sum("v").alias("s"), F.max("v").alias("m"))
@@ -168,6 +171,7 @@ steal_ticks = _steal() - STEAL0
 steal_frac = steal_ticks / (100.0 * (time.time() - T0) * cpus)
 print(json.dumps(dict(
     cpus=cpus,
+    scale=scale,
     steal_frac=round(steal_frac, 4),
     canon_sec=round(canon_sec, 2),
     canon_urls_per_sec=round(N_URLS * 2 / canon_sec, 0),
@@ -180,11 +184,11 @@ print(json.dumps(dict(
 """
 
 
-def run_level(cpus: int, sf_dir: str) -> dict:
+def run_level(cpus: int, sf_dir: str, scale: float = 1.0) -> dict:
     with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
         f.write(WORKER.format(repo=REPO))
         path = f.name
-    cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, path, str(cpus), sf_dir]
+    cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, path, str(cpus), sf_dir, str(scale)]
     env = dict(os.environ, SPARK_DRIVER_MEMORY="48g")  # 48M-row cached frontier
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600, env=env)
     os.unlink(path)
@@ -198,23 +202,38 @@ def run_level(cpus: int, sf_dir: str) -> dict:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=8)
+    ap.add_argument(
+        "--scale", type=float, default=1.0,
+        help="input-size multiplier (both levels of a pair share it; use "
+        "<1 for low-core pairs so a leg stays minutes, not hours)",
+    )
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     args = ap.parse_args()
 
-    lo = run_level(args.n, args.sf_dir)
-    hi = run_level(args.n * 4, args.sf_dir)
+    lo = run_level(args.n, args.sf_dir, args.scale)
+    hi = run_level(args.n * 4, args.sf_dir, args.scale)
     eff = lambda a, b: round((a / b) / 4, 3)
     result = dict(
-        sf_dir=args.sf_dir, n=args.n, low=lo, high=hi,
+        sf_dir=args.sf_dir, n=args.n, scale=args.scale, low=lo, high=hi,
         scaling_efficiency_canon=eff(lo["canon_sec"], hi["canon_sec"]),
         scaling_efficiency_tick=eff(lo["tick_sec"], hi["tick_sec"]),
         scaling_efficiency_scan_ceiling=eff(lo["scan_sec"], hi["scan_sec"]),
         scaling_efficiency_agg=eff(lo["agg_sec"], hi["agg_sec"]),
     )
+    # the tick kernel is cached-scan-dominated, so its per-run ceiling is
+    # the shuffle-free scan leg on the same data in the same JVMs — the
+    # ratio says how close the kernel sits to what THIS host's shared
+    # memory system allows at all (a real 4N cluster multiplies memory
+    # systems; one host does not)
+    ceiling = result["scaling_efficiency_scan_ceiling"]
+    if ceiling:
+        result["tick_over_scan_ceiling"] = round(
+            result["scaling_efficiency_tick"] / ceiling, 3
+        )
     print(json.dumps(result))
 
     md = (
-        f"| {os.path.basename(args.sf_dir)} | local[{args.n}]→local[{args.n * 4}] "
+        f"| {os.path.basename(args.sf_dir)} scale={args.scale} | local[{args.n}]→local[{args.n * 4}] "
         f"| {lo['canon_sec']}s → {hi['canon_sec']}s ({result['scaling_efficiency_canon']}) "
         f"| {lo['tick_sec']}s → {hi['tick_sec']}s ({result['scaling_efficiency_tick']}) "
         f"| {lo['agg_sec']}s → {hi['agg_sec']}s ({result['scaling_efficiency_agg']}) "

@@ -50,6 +50,7 @@ import __spark_entry__ as entrymod
 
 cpus = int(sys.argv[1]); sf_dir = sys.argv[2]
 scale = float(sys.argv[3]) if len(sys.argv) > 3 else 1.0
+master = sys.argv[4] if len(sys.argv) > 4 else f"local[{{cpus}}]"
 # Shuffle storage on tmpfs: a real 4N-node cluster brings 4N nodes'
 # local NVMe for shuffle files; a single shared root disk under 4N
 # concurrent writers models a pathological cluster instead (measured:
@@ -57,13 +58,20 @@ scale = float(sys.argv[3]) if len(sys.argv) > 3 else 1.0
 # tmpfs purely from writeback contention).
 shuffle_dir = f"/dev/shm/spark-scaling-{{cpus}}"
 os.makedirs(shuffle_dir, exist_ok=True)
-spark = get_spark(app_name=f"scaling-{{cpus}}", master=f"local[{{cpus}}]",
-                  shuffle_partitions=32,
-                  extra_conf={{
-                      "spark.sql.adaptive.coalescePartitions.enabled": "false",
-                      "spark.sql.execution.arrow.maxRecordsPerBatch": "50000",
-                      "spark.local.dir": shuffle_dir,
-                  }})
+conf = {{
+    "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "50000",
+    "spark.local.dir": shuffle_dir,
+}}
+if master.startswith("local-cluster"):
+    # true multi-executor JVMs: each executor owns its memory pool and
+    # shuffles over real block transfers; executor Python workers need
+    # the repo on PYTHONPATH — the local-cluster analog of shipping the
+    # package via spark-submit --py-files
+    conf["spark.executor.memory"] = "20g"
+    conf["spark.executorEnv.PYTHONPATH"] = {repo!r}
+spark = get_spark(app_name=f"scaling-{{cpus}}", master=master,
+                  shuffle_partitions=32, extra_conf=conf)
 spark.sparkContext.setLogLevel("ERROR")
 
 N_FRONTIER = int(48_000_000 * scale)
@@ -171,6 +179,7 @@ steal_ticks = _steal() - STEAL0
 steal_frac = steal_ticks / (100.0 * (time.time() - T0) * cpus)
 print(json.dumps(dict(
     cpus=cpus,
+    master=master,
     scale=scale,
     steal_frac=round(steal_frac, 4),
     canon_sec=round(canon_sec, 2),
@@ -184,12 +193,16 @@ print(json.dumps(dict(
 """
 
 
-def run_level(cpus: int, sf_dir: str, scale: float = 1.0) -> dict:
+def run_level(cpus: int, sf_dir: str, scale: float = 1.0, master: str = "") -> dict:
     with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
         f.write(WORKER.format(repo=REPO))
         path = f.name
-    cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, path, str(cpus), sf_dir, str(scale)]
-    env = dict(os.environ, SPARK_DRIVER_MEMORY="48g")  # 48M-row cached frontier
+    master = master or f"local[{cpus}]"
+    cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, path, str(cpus), sf_dir, str(scale), master]
+    # local mode: the 48M-row cache lives in the driver JVM; in
+    # local-cluster mode it lives in the executor JVMs instead
+    drv_mem = "8g" if master.startswith("local-cluster") else "48g"
+    env = dict(os.environ, SPARK_DRIVER_MEMORY=drv_mem)
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600, env=env)
     os.unlink(path)
     shutil.rmtree(f"/dev/shm/spark-scaling-{cpus}", ignore_errors=True)
@@ -207,11 +220,23 @@ def main():
         help="input-size multiplier (both levels of a pair share it; use "
         "<1 for low-core pairs so a leg stays minutes, not hours)",
     )
+    ap.add_argument(
+        "--executors", action="store_true",
+        help="N vs 4N EXECUTOR JVMs (local-cluster[N,8] vs local-cluster[4N,8], "
+        "8 cores each) instead of thread counts — the closest sandbox analog "
+        "of the north rule's 'N and 4N executors'; --n is the executor count",
+    )
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     args = ap.parse_args()
 
-    lo = run_level(args.n, args.sf_dir, args.scale)
-    hi = run_level(args.n * 4, args.sf_dir, args.scale)
+    if args.executors:
+        lo_master = f"local-cluster[{args.n},8,20480]"
+        hi_master = f"local-cluster[{args.n * 4},8,20480]"
+        lo = run_level(args.n * 8, args.sf_dir, args.scale, lo_master)
+        hi = run_level(args.n * 32, args.sf_dir, args.scale, hi_master)
+    else:
+        lo = run_level(args.n, args.sf_dir, args.scale)
+        hi = run_level(args.n * 4, args.sf_dir, args.scale)
     eff = lambda a, b: round((a / b) / 4, 3)
     result = dict(
         sf_dir=args.sf_dir, n=args.n, scale=args.scale, low=lo, high=hi,
@@ -232,8 +257,13 @@ def main():
         )
     print(json.dumps(result))
 
+    pair = (
+        f"{lo['master']}→{hi['master']}"
+        if args.executors
+        else f"local[{args.n}]→local[{args.n * 4}]"
+    )
     md = (
-        f"| {os.path.basename(args.sf_dir)} scale={args.scale} | local[{args.n}]→local[{args.n * 4}] "
+        f"| {os.path.basename(args.sf_dir)} scale={args.scale} | {pair} "
         f"| {lo['canon_sec']}s → {hi['canon_sec']}s ({result['scaling_efficiency_canon']}) "
         f"| {lo['tick_sec']}s → {hi['tick_sec']}s ({result['scaling_efficiency_tick']}) "
         f"| {lo['agg_sec']}s → {hi['agg_sec']}s ({result['scaling_efficiency_agg']}) "

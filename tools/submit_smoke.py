@@ -1,0 +1,63 @@
+"""Minimal spark-submit driver program: run a short crawl through the
+packaged engine (shipped to executors via --py-files) and print a result
+line. Used as the deployment E2E:
+
+    python tools/package.py
+    spark-submit --master 'local-cluster[2,4,4096]' \
+        --conf spark.sql.constraintPropagation.enabled=false \
+        --py-files dist/crawler_spark.zip tools/submit_smoke.py /tmp/submit_smoke
+
+The driver program itself imports crawler_spark from the zip too, so
+this validates that the package is self-contained (no repo-checkout
+dependency on either side). A tiny synthetic web keeps the run seconds
+long; the point is the launch path, not throughput.
+"""
+
+import json
+import sys
+import tempfile
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    workdir = sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp(prefix="submit_smoke_")
+    spark = SparkSession.builder.appName("crawler-spark-submit-smoke").getOrCreate()
+    # import AFTER the session exists: under spark-submit the zip from
+    # --py-files is already on the driver's sys.path
+    from crawler_spark.config import CrawlPolicy
+    from crawler_spark.plans.crawl import CrawlEngine
+
+    n = 300
+    web = spark.range(n).select(
+        F.concat(F.lit("http://h"), (F.col("id") % 7).cast("string"),
+                 F.lit(".test/p"), F.col("id").cast("string")).alias("url"),
+        F.concat(F.lit("h"), (F.col("id") % 7).cast("string"), F.lit(".test")).alias("host_key"),
+        F.lit(200).alias("status"),
+        F.array(
+            F.concat(F.lit("http://h"), (((F.col("id") * 2 + 1) % n) % 7).cast("string"),
+                     F.lit(".test/p"), ((F.col("id") * 2 + 1) % n).cast("string")),
+            F.concat(F.lit("http://h"), (((F.col("id") * 3 + 2) % n) % 7).cast("string"),
+                     F.lit(".test/p"), ((F.col("id") * 3 + 2) % n).cast("string")),
+        ).alias("out_links"),
+        F.lit(None).cast("string").alias("redirect_to"),
+    )
+    eng = CrawlEngine(
+        spark, web, policy=CrawlPolicy(max_retry=1, obey_robots=False),
+        workdir=workdir, max_pops=120, metrics_level=0,
+    )
+    res = eng.run(["http://h0.test/p0", "http://h1.test/p1"])
+    out = dict(
+        pops=res.pops,
+        steps=res.steps,
+        emitted=res.emitted.count(),
+        seen=res.seen.count(),
+        executors=spark.sparkContext.getConf().get("spark.master"),
+    )
+    print("SUBMIT_SMOKE_RESULT " + json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -84,7 +84,17 @@ def _steal():
     with open("/proc/stat") as f:
         return int(f.readline().split()[8])
 
-def best(fn, reps=3):
+# Fresh executor JVMs pay several reps of JIT/C2 + shuffle-stack warmup
+# before a leg reaches steady state (measured in local-cluster mode:
+# the tick kernel fell 135s -> 14s over 6 reps at 4 executors while a
+# single local JVM was steady from rep 1) — time steady state, not
+# warmup: every leg gets untimed warmup reps first, more in
+# local-cluster mode where each executor JIT-compiles independently.
+WARMUP = 3 if master.startswith("local-cluster") else 1
+
+def best(fn, reps=3, warmup=None):
+    for _ in range(WARMUP if warmup is None else warmup):
+        fn()
     times = []
     for _ in range(reps):
         t0 = time.time(); fn(); times.append(time.time() - t0)

@@ -61,12 +61,19 @@ class CanonResult(NamedTuple):
 
 
 def _is_ip(host: str) -> bool:
+    """net.ParseIP semantics: dotted-quad IPv4 or a REAL IPv6 literal —
+    a stray colon is not enough (net.ParseIP("0:x") fails in Go)."""
     if _IPV4_RE.match(host):
         return all(0 <= int(p) <= 255 for p in host.split("."))
-    if host.startswith("[") and host.endswith("]"):
-        return True  # bracketed IPv6 literal
-    if ":" in host:  # bare IPv6 (net.ParseIP accepts)
-        return True
+    cand = host[1:-1] if host.startswith("[") and host.endswith("]") else host
+    if ":" in cand:
+        import ipaddress
+
+        try:
+            ipaddress.IPv6Address(cand)
+            return True
+        except ValueError:
+            return False
     return False
 
 
@@ -164,7 +171,13 @@ def canonicalize(raw: Optional[str]) -> CanonResult:
     elif ":" in netloc:
         host, _, port = netloc.rpartition(":")
         if not port.isdigit():
-            host, port = netloc, ""
+            # Go url.Parse rejects a non-numeric port outright ("invalid
+            # port after host") — unless the colons are an IPv6 literal,
+            # which net/url requires to be bracketed anyway.
+            if _is_ip(netloc) and "@" not in netloc:
+                host, port = netloc, ""
+            else:
+                return CanonResult(None, None, None, None, False, "port")
     if "@" in host:  # userinfo not part of politeness key; Go keeps it — drop creds, reject
         return CanonResult(None, None, None, None, False, "userinfo")
     if host == "":

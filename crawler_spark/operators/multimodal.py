@@ -177,6 +177,86 @@ def extract_features(
     return payload.select(*cols).mapInPandas(batches, FEATURE_SCHEMA)
 
 
+def encode_png_stub(px: list[list[list[int]]]) -> bytes:
+    """Minimal stdlib PNG encoder (8-bit RGB, filter 0) — the inverse of
+    ``decode_png_stub``; production plugs a real codec here."""
+    h = len(px)
+    w = len(px[0]) if h else 0
+    raw = b"".join(
+        b"\x00" + bytes(c for p in row for c in p) for row in px
+    )
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+
+
+def resize_images(
+    payload: DataFrame,
+    target_w: int,
+    target_h: int,
+    *,
+    decoder: Callable = decode_stub,
+    encoder: Callable = encode_png_stub,
+) -> DataFrame:
+    """Decode → nearest-neighbour resample → re-encode, one Arrow batch
+    at a time (the thumbnail / training-resolution stage of a corpus
+    pipeline). Deterministic resampling (floor index mapping) so output
+    bytes are reproducible across runs/engines; metadata columns w/h/fmt
+    follow the new geometry, everything else passes through."""
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                px = decoder(bytes(r["bytes"]), r["fmt"])
+                sh = len(px)
+                sw = len(px[0]) if sh else 0
+                out = [
+                    [px[(y * sh) // target_h][(x * sw) // target_w] for x in range(target_w)]
+                    for y in range(target_h)
+                ] if sh and sw else [[[0, 0, 0]] * target_w for _ in range(target_h)]
+                rows.append(
+                    dict(
+                        image_id=r["image_id"], bytes=encoder(out),
+                        w=target_w, h=target_h, fmt="png",
+                        caption=r["caption"], phash=r["phash"],
+                    )
+                )
+            yield pd.DataFrame(rows, columns=PAYLOAD_SCHEMA.fieldNames())
+
+    return payload.select(PAYLOAD_SCHEMA.fieldNames()).mapInPandas(
+        batches, PAYLOAD_SCHEMA
+    )
+
+
+def sample_frames(
+    videos: DataFrame, *, stride: int, id_col: str = "image_id", n_frames_col: str = "n_frames"
+) -> DataFrame:
+    """Frame sampling for video payloads: emit (id, frame_idx) for every
+    ``stride``-th frame — pure column logic (sequence + explode), so the
+    selection plan never touches Python; the per-frame DECODE is then a
+    ``resize_images``-style mapInPandas over the sampled subset with a
+    pluggable video codec (stubbed: no codecs in this container).
+    Keeping selection ahead of decode means a 100 TB video corpus only
+    pays decode for 1/stride of its frames."""
+    return videos.select(
+        F.col(id_col).alias("image_id"),
+        F.explode(
+            F.sequence(F.lit(0), F.col(n_frames_col) - 1, F.lit(stride))
+        ).alias("frame_idx"),
+    )
+
+
 def payload_size_stats(payload: DataFrame) -> DataFrame:
     """Metadata-only rollup — never touches Python or the byte payload
     beyond octet_length (column pruning keeps the scan narrow)."""

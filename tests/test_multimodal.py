@@ -91,3 +91,47 @@ def test_validate_payloads_pass_and_fail(payload, spark):
     rows = {r["image_id"]: r for r in validate_payloads(payload, bad, decoder=decode_png_stub).collect()}
     assert not rows["img3"]["passed"] and not rows["img3"]["caption_ok"]
     assert rows["img1"]["passed"]
+
+
+def test_encode_decode_roundtrip():
+    from crawler_spark.operators.multimodal import encode_png_stub
+
+    rng = random.Random(11)
+    px = decode_png_stub(payload_bytes(rng, 5, 4), "png")
+    assert decode_png_stub(encode_png_stub(px), "png") == px
+
+
+def test_resize_images(spark, payload):
+    from crawler_spark.operators.multimodal import encode_png_stub, resize_images
+
+    out = resize_images(payload, 2, 2, decoder=decode_png_stub).collect()
+    assert len(out) == 13
+    by_id = {r["image_id"]: r for r in out}
+    r0 = by_id["img0"]
+    assert (r0["w"], r0["h"], r0["fmt"]) == (2, 2, "png")
+    # nearest-neighbour with floor mapping: 4x4 -> 2x2 picks (0,0) (0,2) (2,0) (2,2)
+    src = decode_png_stub(payload_bytes(random.Random(1000), 4, 4), "png")
+    got = decode_png_stub(bytes(r0["bytes"]), "png")
+    assert got == [[src[0][0], src[0][2]], [src[2][0], src[2][2]]]
+    # metadata passthrough
+    assert r0["caption"] == "cap 0"
+    # identity-size resize keeps pixels exactly (PSNR = inf)
+    same = resize_images(payload, 4, 4, decoder=decode_png_stub)
+    v = validate_payloads(same, payload, decoder=decode_png_stub).collect()
+    assert all(r["passed"] for r in v)
+
+
+def test_sample_frames(spark):
+    from crawler_spark.operators.multimodal import sample_frames
+
+    vids = spark.createDataFrame(
+        [("v1", 10), ("v2", 3), ("v3", 1)], "image_id string, n_frames int"
+    )
+    got = {
+        (r["image_id"], r["frame_idx"])
+        for r in sample_frames(vids, stride=4).collect()
+    }
+    assert got == {("v1", 0), ("v1", 4), ("v1", 8), ("v2", 0), ("v3", 0)}
+    # pure column plan: no Python stage in the explain output
+    plan = sample_frames(vids, stride=4)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "ArrowEval" not in plan

@@ -373,6 +373,43 @@ def q_mm_payload_stats(spark, sf_dir):
     )
 
 
+def q_payload_fmt_rollup(spark, sf_dir):
+    """Multimodal metadata rollup (payload_size_stats): per-format
+    count/bytes/geometry over a payload table synthesized from documents
+    — metadata-only, the byte column never reaches Python."""
+    from crawler_spark.operators.multimodal import payload_size_stats
+
+    d = _t(spark, sf_dir, "documents")
+    payload = d.select(
+        F.col("doc_id").alias("image_id"),
+        F.encode("text", "utf-8").alias("bytes"),
+        (F.length("text") % 640 + 16).cast("int").alias("w"),
+        (F.length("text") % 480 + 16).cast("int").alias("h"),
+        F.element_at(
+            F.array(F.lit("png"), F.lit("jpeg"), F.lit("webp")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("fmt"),
+        F.col("text").alias("caption"),
+        F.lit(0).cast("long").alias("phash"),
+    )
+    return payload_size_stats(payload)
+
+
+_PAYLOAD_FMT_SQL = """
+WITH p AS (
+  SELECT doc_id,
+    octet_length(encode(text)) AS nb,
+    CAST(length(text) % 640 + 16 AS INT) AS w,
+    ['png','jpeg','webp'][(doc_id % 3 + 1)::INT] AS fmt
+  FROM documents
+)
+SELECT fmt, COUNT(*) AS n, CAST(SUM(nb) AS BIGINT) AS total_bytes,
+  ROUND(SUM(nb) / COUNT(*), 2) AS mean_bytes,
+  MIN(w) AS min_w, MAX(w) AS max_w
+FROM p GROUP BY fmt
+"""
+
+
 def q_urltrie_census(spark, sf_dir):
     """L8 — crawl-trap guard census: per-(host, prefix) distinct-child
     fan-out over events-derived URLs, thresholded by depth."""
@@ -895,6 +932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "mm_payload_stats": q_mm_payload_stats,
+        "payload_fmt_rollup": q_payload_fmt_rollup,
         "urltrie_census": q_urltrie_census,
         "cache_route": q_cache_route,
         "cache_merge": q_cache_merge,
@@ -1312,6 +1350,7 @@ def oracle_sql() -> dict[str, str]:
             "octet_length(encode(text)) - length(text) AS n_multibyte_extra "
             "FROM documents"
         ),
+        "payload_fmt_rollup": _PAYLOAD_FMT_SQL,
         "urltrie_census": (
             "WITH u AS (SELECT 'u' || user_id || '.events.test' AS host, "
             "event_type, CAST(event_id AS VARCHAR) AS eid FROM events) "

@@ -242,3 +242,46 @@ def test_priority_policy_batched_exact(spark, tmp_path):
     assert got.pops > got.steps, (
         f"batched preemptive mode should multi-pop: {got.pops} pops in {got.steps} steps"
     )
+
+
+# --------------------------------------------------------------------- #
+# hypothesis: randomized graph/policy sweep vs the serial oracle
+# --------------------------------------------------------------------- #
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    n_pages=st.integers(min_value=12, max_value=36),
+    n_hosts=st.integers(min_value=2, max_value=6),
+    intervals=st.sampled_from([(0,), (0, 30), (25, 60), (0, 25, 50, 100)]),
+    max_visits=st.integers(min_value=1, max_value=2),
+    max_depth=st.sampled_from([None, 3]),
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_random_graphs_match_oracle(
+    spark, seed, n_pages, n_hosts, intervals, max_visits, max_depth
+):
+    """The 8 fixed scenarios pin known policy corners; this sweeps
+    RANDOM graphs (skew, errors, redirects, messy/dead links, robots
+    paths) × random politeness/visit policies and demands the batched
+    engine still reproduce the serial oracle exactly — crawl order AND
+    final seen set. Any divergence hypothesis finds shrinks to a
+    minimal (seed, shape) counterexample."""
+    import tempfile
+
+    fx = synth_web(
+        n_pages=n_pages, n_hosts=n_hosts, seed=seed,
+        intervals=intervals, max_visits=max_visits,
+    )
+    policy = CrawlPolicy(max_retry=2, max_visits=max_visits, max_depth=max_depth)
+    got, want = run_both(
+        spark, __import__("pathlib").Path(tempfile.mkdtemp(prefix="hyp_e2e_")),
+        fx, policy,
+    )
+    assert_match(got, want)

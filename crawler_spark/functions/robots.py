@@ -185,6 +185,46 @@ def robots_gate_udf(spark, host_rules: dict):
     return _gate
 
 
+def robots_gate_join(
+    links: DataFrame,
+    rules: DataFrame,
+    *,
+    host_col: str = "host_key",
+    path_col: str = "path",
+    broadcast_rules: bool = False,
+) -> DataFrame:
+    """Join-based RFC 9309 gate — the beyond-broadcast scale path.
+
+    ``robots_gate_udf`` ships ALL hosts' rules to every executor, which
+    is right while the registered-host set is broadcast-sized. At
+    10^10-URL scale with tens of millions of robots-bearing hosts the
+    rules are a TABLE, not a broadcast: this variant left-joins the links
+    to ``rules (host_key, robots_rules array<struct<allow,pat>>)`` on
+    host (hash-shuffle by default so it co-partitions with the rules
+    table's layout; ``broadcast_rules=True`` opts back into a broadcast
+    join for small rule sets) and evaluates longest-match in an
+    Arrow-batched UDF over the (rules, path) columns — each row carries
+    only ITS host's rules, so executor memory stays flat no matter how
+    many hosts exist. Hosts without rules pass.
+
+    Returns ``links`` filtered to allowed rows (same columns)."""
+    r = rules.select(host_col, F.col("robots_rules").alias("_rr"))
+    j = links.join(F.broadcast(r) if broadcast_rules else r, host_col, "left")
+
+    @F.pandas_udf("boolean")
+    def _allowed(rr: pd.Series, path: pd.Series) -> pd.Series:
+        out = []
+        for rules_row, p in zip(rr, path):
+            if rules_row is None or len(rules_row) == 0:
+                out.append(True)
+                continue
+            rl = [(bool(x["allow"]), x["pat"]) for x in rules_row]
+            out.append(allowed(RobotsRules(rules=rl), p))
+        return pd.Series(out)
+
+    return j.where(_allowed(F.col("_rr"), F.col(path_col))).drop("_rr")
+
+
 ROBOTS_POLICY_SCHEMA = StructType(
     [
         StructField("interval_ms", LongType()),

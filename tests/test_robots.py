@@ -159,3 +159,54 @@ def test_full_gate_engine_matches_oracle(spark, tmp_path):
     assert want.rejected.get("link-robots", 0) > 0, "fixture never hit the gate"
     g_seen = set(r["url"] for r in got.seen.collect())
     assert g_seen == set(want.seen)
+
+
+def test_robots_gate_join_matches_broadcast_gate(spark):
+    """The join-based gate (beyond-broadcast scale path) must make the
+    same per-link decisions as the broadcast UDF gate / allowed()."""
+    from crawler_spark.functions.robots import robots_gate_join
+
+    host_rules = {
+        "a.test": [(False, "/private"), (True, "/private/ok"), (False, "/*.pdf$")],
+        "b.test": [(False, "/")],
+    }
+    rules_rows = [
+        (h, [{"allow": a, "pat": p} for a, p in rl]) for h, rl in host_rules.items()
+    ]
+    rules = spark.createDataFrame(
+        rules_rows,
+        "host_key string, robots_rules array<struct<allow:boolean,pat:string>>",
+    )
+    links = spark.createDataFrame(
+        [
+            ("a.test", "/public/x"),          # no matching rule -> allowed
+            ("a.test", "/private/z"),          # disallow /private
+            ("a.test", "/private/ok/y"),       # longer Allow wins
+            ("a.test", "/docs/file.pdf"),      # $-anchored wildcard blocks
+            ("a.test", "/docs/file.pdfx"),     # anchor => not blocked
+            ("b.test", "/anything"),           # disallow all
+            ("c.test", "/no/rules/host"),      # host absent -> allowed
+        ],
+        "host_key string, path string",
+    )
+    got = {
+        (r["host_key"], r["path"])
+        for r in robots_gate_join(links, rules).collect()
+    }
+    assert got == {
+        ("a.test", "/public/x"),
+        ("a.test", "/private/ok/y"),
+        ("a.test", "/docs/file.pdfx"),
+        ("c.test", "/no/rules/host"),
+    }
+    # decisions identical under the broadcast join strategy
+    got_bc = {
+        (r["host_key"], r["path"])
+        for r in robots_gate_join(links, rules, broadcast_rules=True).collect()
+    }
+    assert got_bc == got
+    # and identical to the reference evaluator row by row
+    from crawler_spark.functions.robots import RobotsRules, allowed
+    for h, p in [(r["host_key"], r["path"]) for r in links.collect()]:
+        want = allowed(RobotsRules(rules=host_rules.get(h, [])), p)
+        assert ((h, p) in got) == want

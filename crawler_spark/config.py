@@ -71,7 +71,8 @@ class CrawlPolicy:
 
     # --- scale knobs -------------------------------------------------------
     per_host_batch_cap: int = 4096  # max pops finalized per host per iteration
-    bloom_prefilter: bool = False  # bloom shards in front of the exact anti-join
+    bloom_prefilter: bool = False  # seen-filter shards before the exact anti-join
+    seen_filter: str = "bloom"  # "bloom" | "cuckoo" (cuckoo adds deletion)
     bloom_shards: int = 8
     bloom_bits_per_shard: int = 1 << 22
     heavy_host_salt: int = 0  # >0: salt fetch-stage partitioning for skew

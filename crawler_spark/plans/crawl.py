@@ -242,13 +242,22 @@ class CrawlEngine:
         # drop URLs; the north rule demands the exact set)
         self.bloom = None
         if policy.bloom_prefilter:
-            from crawler_spark.operators.bloom import BloomShards, optimal_k
+            if policy.seen_filter == "cuckoo":
+                from crawler_spark.operators.cuckoo import CuckooShards
 
-            self.bloom = BloomShards(
-                policy.bloom_shards,
-                policy.bloom_bits_per_shard,
-                optimal_k(policy.bloom_bits_per_shard, 1_000_000 // policy.bloom_shards),
-            )
+                # equal memory to the bloom sizing: 16-bit fp × 4 slots
+                # per bucket = 64 bits/bucket
+                self.bloom = CuckooShards(
+                    policy.bloom_shards, max(16, policy.bloom_bits_per_shard // 64)
+                )
+            else:
+                from crawler_spark.operators.bloom import BloomShards, optimal_k
+
+                self.bloom = BloomShards(
+                    policy.bloom_shards,
+                    policy.bloom_bits_per_shard,
+                    optimal_k(policy.bloom_bits_per_shard, 1_000_000 // policy.bloom_shards),
+                )
         # LSM-style bloom maintenance: the broadcast shards cover seen
         # rows with seq < _bloom_cover_seq; newer rows are the "recent"
         # slice handled by a broadcast anti-join in prefilter_fresh. A
@@ -418,17 +427,28 @@ class CrawlEngine:
         so the recent slice resets to empty."""
         if self.bloom is None:
             return
-        from crawler_spark.operators.bloom import BloomShards
-
         old = self.bloom
         p = self.policy
-        self.bloom = BloomShards.build(
-            seen.select(F.xxhash64("url").alias("url_hash")),
-            "url_hash",
-            n_shards=p.bloom_shards,
-            bits_per_shard=p.bloom_bits_per_shard,
-            expected_n=max(cover_seq, 1),
-        )
+        hashes = seen.select(F.xxhash64("url").alias("url_hash"))
+        if p.seen_filter == "cuckoo":
+            from crawler_spark.operators.cuckoo import CuckooShards
+
+            self.bloom = CuckooShards.build(
+                hashes,
+                "url_hash",
+                n_shards=p.bloom_shards,
+                buckets_per_shard=max(16, p.bloom_bits_per_shard // 64),
+            )
+        else:
+            from crawler_spark.operators.bloom import BloomShards
+
+            self.bloom = BloomShards.build(
+                hashes,
+                "url_hash",
+                n_shards=p.bloom_shards,
+                bits_per_shard=p.bloom_bits_per_shard,
+                expected_n=max(cover_seq, 1),
+            )
         old.release()
         self._bloom_cover_seq = cover_seq
         self._bloom_recent_rows = 0

@@ -59,3 +59,36 @@ def test_bloom_rebuild_cadence_exercised(spark, tmp_path):
     g_seen = {r["url"]: (r["depth"], r["done"]) for r in got.seen.collect()}
     w_seen = {u: (s.depth, s.done) for u, s in want.seen.items()}
     assert g_seen == w_seen
+
+
+def test_cuckoo_crawl_matches_oracle(spark, tmp_path):
+    """Engine with seen_filter='cuckoo' (deletable filter) through the
+    same LSM maintenance path — exactness preserved, rebuild cadence
+    exercised with nonempty tables."""
+    from crawler_spark.operators.cuckoo import CuckooShards
+
+    fx = synth_web(n_pages=60, n_hosts=5, seed=11)
+    policy = CrawlPolicy(
+        max_depth=6, retry_delay_ms=60,
+        bloom_prefilter=True, seen_filter="cuckoo",
+        bloom_shards=4, bloom_bits_per_shard=1 << 16,
+    )
+    eng = CrawlEngine(
+        spark, fx.web_df(spark), host_policy=fx.host_policy_df(spark),
+        policy=policy, workdir=str(tmp_path / "work"),
+        bloom_rebuild_steps=2, bloom_rebuild_rows=10,
+    )
+    assert isinstance(eng.bloom, CuckooShards)
+    got = eng.run(fx.seeds)
+    assert eng._bloom_cover_seq > 0, "rebuild cadence never fired"
+    assert any(t.any() for t in eng.bloom.tables), "cuckoo still empty"
+    want = crawl_oracle(
+        fx.seeds, fx.oracle_web(), fx.oracle_host_policy(), policy=policy,
+        ticket_at=policy.ticket_at,
+    )
+    g = [(r["emit_ord"], r["url"], r["emit_ms"]) for r in got.emitted.orderBy("emit_ord").collect()]
+    w = [(e["emit_ord"], e["url"], e["emit_ms"]) for e in want.emitted]
+    assert g == w
+    g_seen = {r["url"]: (r["depth"], r["done"]) for r in got.seen.collect()}
+    w_seen = {u: (s.depth, s.done) for u, s in want.seen.items()}
+    assert g_seen == w_seen

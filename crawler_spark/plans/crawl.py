@@ -191,6 +191,7 @@ class CrawlEngine:
         bloom_rebuild_rows: int = 20_000,
         bloom_rebuild_steps: int = 8,
         emit_every: int = 4,
+        deferred_emin: str = "auto",
     ):
         self.spark = spark
         self.web = web
@@ -283,6 +284,22 @@ class CrawlEngine:
         # 0 = no per-step metric jobs (throughput runs); 1 = per-step
         # outcome/link counters (C8 metrics, extra Spark jobs per step)
         self.metrics_level = metrics_level
+        # deferred e_min (exact mode only): fold the phase-1 scalar into
+        # the consumer plan instead of a driver .first() round-trip.
+        # Measured SLOWER wherever the driver round-trip is cheap — both
+        # single-JVM local mode AND a same-host 4-executor local-cluster
+        # (interleaved on/off loop reps: best 46 vs 84 URLs/s; the two
+        # extra broadcast-agg stages cost more than the saved .first()).
+        # "auto" therefore enables it only for genuinely remote masters
+        # (spark://, yarn, k8s), where a driver round-trip is a
+        # network-latency job gap this sandbox cannot reproduce.
+        if deferred_emin == "auto":
+            master = spark.sparkContext.master
+            self.deferred_emin = self.mode == "exact" and not master.startswith(
+                ("local[", "local-cluster")
+            )
+        else:
+            self.deferred_emin = deferred_emin == "on" and self.mode == "exact"
 
     # ------------------------------------------------------------------ #
     def _init_state(self, seeds: list[str]):
@@ -780,10 +797,8 @@ class CrawlEngine:
                     frontier, seen, seq_base, step
                 )
             # deferred e_min folds the scalar into the plan (no driver
-            # round-trip) — measured SLOWER in local mode (the fetched job
-            # grows two broadcast-agg stages, outweighing the saved
-            # .first()); worth revisiting on a high-latency real cluster.
-            deferred = False
+            # round-trip) — see deferred_emin in __init__ for when.
+            deferred = self.deferred_emin
             sel = select_batch(
                 frontier,
                 host_state,

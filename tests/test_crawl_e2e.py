@@ -285,3 +285,23 @@ def test_random_graphs_match_oracle(
         fx, policy,
     )
     assert_match(got, want)
+
+
+def test_deferred_emin_loop_exact(spark, tmp_path, fx_small):
+    """deferred_emin='on': the e_min scalar is folded into the plan (no
+    per-step driver round-trip; termination via the empty-batch branch).
+    Crawl order and seen set must still match the oracle exactly."""
+    engine = CrawlEngine(
+        spark, fx_small.web_df(spark),
+        host_policy=fx_small.host_policy_df(spark),
+        policy=CrawlPolicy(max_retry=2),
+        workdir=str(tmp_path / "work_dem"),
+        deferred_emin="on",
+    )
+    assert engine.deferred_emin
+    got = engine.run(fx_small.seeds)
+    want = crawl_oracle(
+        fx_small.seeds, fx_small.oracle_web(), fx_small.oracle_host_policy(),
+        policy=CrawlPolicy(max_retry=2), ticket_at="avail",
+    )
+    assert_match(got, want)

@@ -207,8 +207,17 @@ def robots_gate_join(
     only ITS host's rules, so executor memory stays flat no matter how
     many hosts exist. Hosts without rules pass.
 
+    Contract: ``rules`` holds ONE row per host (it is a per-host robots
+    cache). A duplicate host row would fan out every link for that host
+    N times through the left join, so the rules side is deduplicated
+    here defensively (arbitrary winner — duplicates would indicate an
+    upstream bug, not a semantic choice).
+
     Returns ``links`` filtered to allowed rows (same columns)."""
-    r = rules.select(host_col, F.col("robots_rules").alias("_rr"))
+    r = (
+        rules.select(host_col, F.col("robots_rules").alias("_rr"))
+        .dropDuplicates([host_col])
+    )
     j = links.join(F.broadcast(r) if broadcast_rules else r, host_col, "left")
 
     @F.pandas_udf("boolean")

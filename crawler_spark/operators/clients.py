@@ -108,15 +108,18 @@ def proxy_client(
 class BrowserConfig:
     """electron.go:30-42. ``mode`` is INJECT (injected JS decides when the
     document is done and calls FINISH(content[, type])) or MAIN_WAIT
-    (run ``fetch_code`` after window load; default grabs outerHTML)."""
+    (run ``fetch_code`` after window load; default grabs outerHTML).
+    The zero value is "" — like Go's zero-value ``Mode`` — so a default
+    config omits ``mode`` on the wire (omitempty parity) and the browser
+    side applies its own default (MAIN_WAIT behavior)."""
 
-    mode: str = "MAIN_WAIT"  # INJECT | MAIN_WAIT
+    mode: str = ""  # "" (browser default) | INJECT | MAIN_WAIT
     fetch_code: str = ""
     injection: str = ""
     timeout_ms: int = 0
 
     def __post_init__(self):
-        if self.mode not in ("INJECT", "MAIN_WAIT"):
+        if self.mode not in ("", "INJECT", "MAIN_WAIT"):
             raise ValueError(f"electron: unknown mode {self.mode!r}")
 
 

@@ -101,6 +101,17 @@ class CuckooShards:
     """n_shards independent cuckoo tables over 64-bit url hashes."""
 
     def __init__(self, n_shards: int, buckets_per_shard: int):
+        # The partial-key construction (i2 = i1 XOR hash(fp)) is only an
+        # involution when n_buckets is a power of two: with pow2 buckets
+        # XOR of two in-range values stays in range, so a kicked entry's
+        # alternate bucket is exactly the bucket probes check. A non-pow2
+        # count lets kicked entries land where neither probe looks — a
+        # false NEGATIVE, violating the "fresh is proven" contract. Round
+        # up unconditionally (build() already sizes pow2; this guards the
+        # direct-constructor path the engine uses).
+        buckets_per_shard = max(16, buckets_per_shard)
+        if buckets_per_shard & (buckets_per_shard - 1):
+            buckets_per_shard = 1 << buckets_per_shard.bit_length()
         self.n_shards = n_shards
         self.n_buckets = buckets_per_shard
         self.tables = [
@@ -125,10 +136,15 @@ class CuckooShards:
 
     def delete_hashes(self, hashes: np.ndarray) -> int:
         """Remove one stored copy per present hash (the cuckoo advantage
-        over bloom). Returns how many were found+removed. Deleting a
-        never-inserted hash is a no-op (and, as with any cuckoo filter,
-        only safe for correctness because membership stays approximate:
-        the exact anti-join still guards every positive)."""
+        over bloom). Returns how many were found+removed.
+
+        Standard cuckoo caveat: deletes are only safe for hashes that
+        were PREVIOUSLY INSERTED. Deleting a never-inserted hash whose
+        fingerprint aliases a stored entry in either candidate bucket
+        evicts that other entry, creating a false negative for its URL.
+        The engine therefore only wires deletes for hashes it verified
+        against the exact seen set (cache eviction / site removal), never
+        for speculative ones."""
         removed = 0
         h = np.asarray(hashes, dtype=np.int64).view(np.uint64)
         shard_of = (h % np.uint64(self.n_shards)).astype(np.int64)
@@ -199,7 +215,7 @@ class CuckooShards:
             need = int(n / n_shards / SLOTS / 0.9) + 1
             buckets_per_shard = 1 << max(4, (need - 1).bit_length())
         cf = cls(n_shards, buckets_per_shard)
-        nb, ns = buckets_per_shard, n_shards
+        nb, ns = cf.n_buckets, n_shards  # constructor may round up to pow2
 
         def per_shard(pdf: pd.DataFrame) -> pd.DataFrame:
             h = pdf["h"].to_numpy(dtype=np.int64)

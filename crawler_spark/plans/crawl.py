@@ -295,9 +295,9 @@ class CrawlEngine:
         # network-latency job gap this sandbox cannot reproduce.
         if deferred_emin == "auto":
             master = spark.sparkContext.master
-            self.deferred_emin = self.mode == "exact" and not master.startswith(
-                ("local[", "local-cluster")
-            )
+            # "local" (bare), "local[N]", and "local-cluster[...]" all run
+            # on this host where the driver round-trip is cheap.
+            self.deferred_emin = self.mode == "exact" and not master.startswith("local")
         else:
             self.deferred_emin = deferred_emin == "on" and self.mode == "exact"
 

@@ -87,6 +87,13 @@ def test_browser_config_rejects_unknown_mode():
         BrowserConfig(mode="EVAL")
 
 
+def test_default_config_omits_mode():
+    # Go's zero-value Mode ("") is omitted by omitempty; a default
+    # BrowserConfig must produce the identical wire message.
+    m = request_msg(1, "http://a.test/", BrowserConfig())
+    assert m == {"taskID": 1, "url": "http://a.test/"}
+
+
 def test_response_from_msg_headers_and_aliasing():
     dec = response_from_msg(
         {

@@ -36,6 +36,25 @@ def test_high_load_overflow_still_exact():
     assert sum(len(o) for o in cf.overflow) > 0  # it DID overflow
 
 
+def test_non_pow2_buckets_rounded_up_no_false_negatives():
+    """Regression: partial-key cuckoo (i2 = i1 XOR hash(fp)) is only an
+    involution for pow2 bucket counts; a 48-bucket filter used to lose
+    kicked entries to buckets neither probe checks (~2/170 false
+    negatives). The constructor now rounds up to the next power of two."""
+    cf = CuckooShards(n_shards=1, buckets_per_shard=48)
+    assert cf.n_buckets == 64  # rounded up, pow2
+    ins = _hashes(7, 170)  # the load that reproduced the false negatives
+    cf.add_hashes(ins)
+    assert cf.might_contain_np(ins).all()  # NEVER a false negative
+    # heavier sweep across several non-pow2 requests
+    for req, n in ((100, 300), (1000, 3000), (3333, 9000)):
+        cf = CuckooShards(n_shards=2, buckets_per_shard=req)
+        assert cf.n_buckets & (cf.n_buckets - 1) == 0
+        ins = _hashes(req, n)
+        cf.add_hashes(ins)
+        assert cf.might_contain_np(ins).all()
+
+
 def test_delete():
     cf = CuckooShards(n_shards=2, buckets_per_shard=1 << 10)
     ins = _hashes(4, 2_000)

@@ -1210,6 +1210,84 @@ ORDER BY CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN 0.0
 LIMIT 10
 """
 
+def _crawl_bfs_oracle_sql(n_events=2000, n_seeds=3, max_depth=4, max_pops=60):
+    """Whole-crawl DuckDB oracle for q_crawl_bfs — the reference's own
+    verification style (godoc_test.go:24-47: full crawl vs an external
+    oracle), re-derived in SQL.
+
+    Why the emit order is SQL-expressible under this entry's policy
+    (interval 0, score 0 → prio 999, ticket_at='avail', max_visits=1,
+    max_retry=1): no item is ever re-pushed (first visit completes or
+    first error exhausts retries), every push happens at virtual time 0
+    (interval 0 keeps the host clock at 0, so discovery time ≡ 0), so
+    the two-level politeness order (emit, prio, seq) degenerates to pure
+    ``seq`` = discovery order. Discovery is breadth-first: pops proceed
+    in seq order and every link's seq exceeds its parent's, so levels
+    are contiguous and first-writer-wins for a URL is decided by
+    min(parent_seq, ordinal) among the previous level's ok parents.
+    With max_depth=4 the BFS has at most 5 levels, so the closure
+    unrolls into 5 static CTE stages — no recursion, no iteration.
+    Truncation at max_pops keeps rows with seq < max_pops: pops follow
+    seq order, and expansions by parents with seq >= max_pops can only
+    first-write URLs whose seq is also >= max_pops (their discovery
+    order keys exceed every sub-max_pops key), so including them in the
+    closure is harmless.
+
+    The derived web is recomputed independently from the events table
+    (same arithmetic link rule as _derived_web)."""
+    sql = f"""
+WITH ev AS (
+  SELECT event_id, user_id, event_type FROM events WHERE event_id < {n_events}
+), nn AS (
+  SELECT MAX(event_id) + 1 AS n FROM ev
+), pages AS (
+  SELECT 'http://u' || CAST(user_id AS VARCHAR) || '.events.test/e/'
+           || CAST(event_id AS VARCHAR) AS url,
+         event_id,
+         CASE WHEN event_type = 'error' THEN 500 ELSE 200 END AS status
+  FROM ev
+), cand AS (
+  SELECT event_id, (event_id * 2 + 1) % (SELECT n FROM nn) AS t_id FROM ev
+  UNION ALL
+  SELECT event_id, (event_id * 3 + 7) % (SELECT n FROM nn) AS t_id FROM ev
+), edges AS (
+  SELECT s.url AS src, t.url AS dst,
+         ROW_NUMBER() OVER (PARTITION BY s.url ORDER BY t.url) AS ordinal
+  FROM cand c
+  JOIN pages s ON s.event_id = c.event_id
+  JOIN pages t ON t.event_id = c.t_id
+), l0 AS (
+  SELECT url, 0 AS depth,
+         CAST(ROW_NUMBER() OVER (ORDER BY url) - 1 AS BIGINT) AS seq
+  FROM (SELECT url FROM pages ORDER BY url LIMIT {n_seeds})
+), seen0 AS (SELECT url FROM l0)"""
+    for d in range(1, max_depth + 1):
+        p = d - 1
+        sql += f""", c{d} AS (
+  SELECT e.dst AS url, MIN(p.seq * 16 + e.ordinal) AS fw_key
+  FROM l{p} p
+  JOIN pages ps ON ps.url = p.url AND ps.status = 200
+  JOIN edges e ON e.src = p.url
+  WHERE e.dst NOT IN (SELECT url FROM seen{p})
+  GROUP BY e.dst
+), l{d} AS (
+  SELECT url, {d} AS depth,
+         (SELECT COUNT(*) FROM seen{p})
+           + ROW_NUMBER() OVER (ORDER BY fw_key) - 1 AS seq
+  FROM c{d}
+), seen{d} AS (SELECT url FROM seen{p} UNION ALL SELECT url FROM l{d})"""
+    levels = " UNION ALL ".join(f"SELECT * FROM l{d}" for d in range(max_depth + 1))
+    sql += f""", all_nodes AS ({levels})
+SELECT CAST(a.seq AS INT) AS emit_ord, a.url, CAST(a.depth AS INT) AS depth,
+       CAST(p.status AS INT) AS status,
+       CASE WHEN p.status = 200 THEN 'ok' ELSE 'retry' END AS outcome
+FROM all_nodes a JOIN pages p ON p.url = a.url
+WHERE a.seq < {max_pops}
+ORDER BY emit_ord
+"""
+    return sql
+
+
 _EMB_PAIRS_SQL = """
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1384,7 +1462,9 @@ def oracle_sql() -> dict[str, str]:
             "THEN 'hit' WHEN etag IS NOT NULL THEN 'revalidate' ELSE 'miss' END "
             "AS cache_route FROM c"
         ),
-        # rows-only (no SQL-expressible oracle): crawl_bfs only — the
-        # iterative engine; its emitted log is checksum-matched against
-        # the serial oracle in tests/test_crawl_e2e.py::test_entry_bfs_checksum.
+        # whole-crawl oracle: the BFS degenerate case is SQL-expressible
+        # (see _crawl_bfs_oracle_sql's proof); the general scheduler is
+        # additionally checksum-matched against the serial oracle in
+        # tests/test_crawl_e2e.py::test_entry_bfs_checksum.
+        "crawl_bfs": _crawl_bfs_oracle_sql(),
     }

@@ -24,6 +24,7 @@ Design for 100 TB:
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -110,23 +111,8 @@ def lsh_candidate_pairs(
     collide in ≥1 band. ``max_bucket`` drops degenerate buckets (e.g. the
     empty-document signature) to bound join skew — dropped buckets are the
     operator's documented coverage cap."""
-    if feature_hash == "md5":
-        def band_hash(i):
-            return F.md5(F.concat_ws("|", *[F.col("sig")[i * rows + j] for j in range(rows)]))
-    else:
-        def band_hash(i):
-            return F.xxhash64(*[F.col("sig")[i * rows + j] for j in range(rows)])
-    b = sig.select(
-        "id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(i).alias("band"), band_hash(i).alias("bh"))
-                for i in range(bands)
-            ])
-        ).alias("e"),
-    ).select("id", "e.band", "e.bh")
-    w = Window.partitionBy("band", "bh")
-    b = b.withColumn("bucket_n", F.count("*").over(w)).where(F.col("bucket_n") <= max_bucket)
+    b = _banded(sig, bands=bands, rows=rows, max_bucket=max_bucket,
+                feature_hash=feature_hash)
     left = b.select(F.col("band"), F.col("bh"), F.col("id").alias("id_a"))
     right = b.select(F.col("band"), F.col("bh"), F.col("id").alias("id_b"))
     return (
@@ -135,6 +121,44 @@ def lsh_candidate_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def _banded(
+    sig: DataFrame, *, bands: int, rows: int, max_bucket: int,
+    feature_hash: str, carry: tuple = (),
+) -> DataFrame:
+    """(id, band, bh[, carry...]) band rows with oversized buckets removed.
+
+    The bucket-size cap used to be a count-window over every band row —
+    a full shuffle + sort of the banded table. Oversized buckets are by
+    construction RARE (they are the degenerate signatures the cap
+    exists to drop), so the scale-correct plan is: partial-aggregated
+    bucket counts, filter to the oversized few, and a broadcast
+    left-anti join — no sort anywhere, and the anti-join's build side is
+    a handful of (band, bh) keys no matter how large the corpus is."""
+    if feature_hash == "md5":
+        def band_hash(i):
+            return F.md5(F.concat_ws("|", *[F.col("sig")[i * rows + j] for j in range(rows)]))
+    else:
+        def band_hash(i):
+            return F.xxhash64(*[F.col("sig")[i * rows + j] for j in range(rows)])
+    b = sig.select(
+        "id",
+        *carry,
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("band"), band_hash(i).alias("bh"))
+                for i in range(bands)
+            ])
+        ).alias("e"),
+    ).select("id", *carry, "e.band", "e.bh")
+    big = (
+        b.groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > max_bucket)
+        .select("band", "bh")
+    )
+    return b.join(F.broadcast(big), ["band", "bh"], "left_anti")
 
 
 def minhash_near_dups(
@@ -150,15 +174,26 @@ def minhash_near_dups(
     feature_hash: str = "xxhash64",
 ) -> DataFrame:
     """End-to-end MinHash near-dup: signatures → LSH candidates →
-    signature-estimated Jaccard filter. Returns (id_a, id_b, est_jaccard)."""
+    signature-estimated Jaccard filter. Returns (id_a, id_b, est_jaccard).
+
+    Physical plan notes (the 100 TB shape): the signature table is the
+    expensive subtree (shingle explode + k map-side mins), so it is
+    computed ONCE — persisted MEMORY_AND_DISK (n_docs × (k+1) compact
+    columns, a tiny fraction of the corpus) instead of being re-derived
+    by every consumer branch. Signatures ride THROUGH the band self-join
+    (both sides share one exchange, reused by Spark), so the Jaccard
+    estimate needs no further joins; the estimate is a codegen'd
+    higher-order function over the two carried arrays."""
     sig = minhash_signatures(df, id_col, text_col, k=k, shingle_n=shingle_n,
                              feature_hash=feature_hash)
-    cand = lsh_candidate_pairs(sig, bands=bands, rows=rows, feature_hash=feature_hash)
-    a = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
-    bb = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    b = _banded(sig, bands=bands, rows=rows, max_bucket=1000,
+                feature_hash=feature_hash, carry=("sig",))
+    left = b.select("band", "bh", F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    right = b.select("band", "bh", F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
     est = (
-        cand.join(a, "id_a")
-        .join(bb, "id_b")
+        left.join(right, ["band", "bh"])
+        .where(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "est_jaccard",
             F.aggregate(
@@ -168,8 +203,14 @@ def minhash_near_dups(
             )
             / F.lit(k),
         )
+        .where(F.col("est_jaccard") >= threshold)
+        # a pair colliding in several bands repeats with the SAME
+        # estimate (it is a function of the two signatures alone), so
+        # distinct on the triple is exact pair dedup
+        .select("id_a", "id_b", "est_jaccard")
+        .distinct()
     )
-    return est.where(F.col("est_jaccard") >= threshold).select("id_a", "id_b", "est_jaccard")
+    return est
 
 
 # --------------------------------------------------------------------- #

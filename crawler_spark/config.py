@@ -69,6 +69,32 @@ class CrawlPolicy:
     follow_redirects: bool = True  # inject NewURL as a link (handle.go:63-76)
     obey_robots: bool = True
 
+    # --- S5: HTTP fetch cache wired into the loop (client.go:98-113) ------
+    # when enabled, the engine keeps a fetch_cache state table; each pop
+    # is routed hit/revalidate/miss at its emit_ms, hits serve the cached
+    # response without consulting the web, revalidations are conditional
+    # (etag match → 304 → control refresh, body kept), and the post-fetch
+    # merge runs cache.cache_merge semantics (Pool.Set/Update/Remove).
+    cache_enabled: bool = False
+    cache_max_bytes: Optional[int] = None  # None = no eviction
+    cache_evict_every: int = 8  # eviction cadence in steps
+    cache_evict_partitioned: bool = False  # per-partition budget at scale
+
+    # --- L8: URL-trie crawl-trap guard wired into link admission ----------
+    # SQL expression over `depth` (trie node depth, root=0) giving the
+    # max children a path node may have before the prefix is a trap
+    # (sample/urltrie/urltrie.go:65-193; example thresholds main.go:42-49
+    # e.g. "CASE WHEN depth <= 2 THEN 300 ELSE 30 END"). None = guard off.
+    # Batch semantics are MONOTONE (a trapped prefix rejects the whole
+    # candidate batch under it, not just late arrivals): rejections are a
+    # superset of the serial trie's, order-free and deterministic.
+    trap_threshold_expr: Optional[str] = None
+    # census refresh cadence in steps: 1 = exact census (seen ∪ batch)
+    # every step (the superset guarantee holds); >1 amortizes the seen
+    # scan — the trap list goes stale between refreshes (still
+    # deterministic, truncation lands at the next refresh).
+    trap_check_every: int = 1
+
     # --- scale knobs -------------------------------------------------------
     per_host_batch_cap: int = 4096  # max pops finalized per host per iteration
     bloom_prefilter: bool = False  # seen-filter shards before the exact anti-join

@@ -125,16 +125,27 @@ def parse_response_cache(
     )
 
 
-def cache_route_col(now_ms: int) -> Column:
-    """'hit' | 'revalidate' | 'miss' from joined fetch_cache columns."""
-    current_age = F.col("age_ms") + (F.lit(now_ms) - F.col("fetched_ms"))
+def cache_route_col(now_ms, prefix: str = "") -> Column:
+    """'hit' | 'revalidate' | 'miss' from joined fetch_cache columns.
+
+    ``now_ms`` may be a scalar (one clock for the whole batch) or a
+    Column (per-row virtual clock — the crawl loop routes each pop at
+    its own emit_ms). ``prefix`` reads the cache columns under aliased
+    names (the engine joins them as c_*) so route logic stays single-
+    sourced."""
+    now = F.lit(now_ms) if isinstance(now_ms, int) else now_ms
+
+    def c(name: str) -> Column:
+        return F.col(prefix + name)
+
+    current_age = c("age_ms") + (now - c("fetched_ms"))
     fresh = (
-        F.col("fetched_ms").isNotNull()
-        & ~F.coalesce(F.col("need_validate"), F.lit(False))
-        & (current_age < F.col("max_age_ms"))
+        c("fetched_ms").isNotNull()
+        & ~F.coalesce(c("need_validate"), F.lit(False))
+        & (current_age < c("max_age_ms"))
     )
-    can_validate = F.col("fetched_ms").isNotNull() & (
-        F.col("etag").isNotNull() | F.col("last_modified_ms").isNotNull()
+    can_validate = c("fetched_ms").isNotNull() & (
+        c("etag").isNotNull() | c("last_modified_ms").isNotNull()
     )
     return (
         F.when(fresh, F.lit("hit"))
@@ -180,37 +191,43 @@ def cache_merge(
     the new response; resp_cacheable=false models Parse returning nil).
     Returns the next fetch_cache table. One full-outer join on url —
     co-partitioned with the cache table's hash-by-url layout at scale.
-    Eviction is a separate operator (:func:`evict_cache`)."""
-    old = fetch_cache.select(
-        "url",
-        F.struct(
-            "fetched_ms", "date_ms", "max_age_ms", "age_ms",
-            "etag", "last_modified_ms", "need_validate", "body_bytes",
-        ).alias("_old"),
-    )
-    res = results.select(*[c.strip() for c in RESULT_COLS.split(",")])
+    Eviction is a separate operator (:func:`evict_cache`).
+
+    The entry layout is taken from ``fetch_cache``'s own schema: any
+    column beyond the standard control fields (the crawl engine adds
+    status/links/base_url as its body stand-in) is treated as BODY —
+    refreshed on Set, kept from the old entry on a 304 Update (RFC 7232:
+    a 304 updates stored metadata, the representation is unchanged).
+    ``results`` must then carry a matching ``resp_<col>`` per payload
+    column. ``now_ms`` may be a Column for per-row clocks (the engine
+    passes emit_ms)."""
+    payload = [c for c in fetch_cache.columns if c != "url"]
+    control = {"date_ms", "max_age_ms", "age_ms", "etag", "last_modified_ms", "need_validate"}
+    now = (F.lit(now_ms) if isinstance(now_ms, int) else now_ms).cast("long")
+    old = fetch_cache.select("url", F.struct(*payload).alias("_old"))
+    need = ["url", "cache_route", "status", "resp_cacheable"] + [
+        f"resp_{c}" for c in payload if c != "fetched_ms"
+    ]
+    if not isinstance(now_ms, int):
+        # a Column clock references results columns (e.g. emit_ms) —
+        # keep whatever extra columns results carries so it resolves
+        need += [c for c in results.columns if c not in need]
+    res = results.select(*need)
     j = old.join(res, "url", "full")
 
-    new_entry = F.struct(
-        F.lit(now_ms).cast("long").alias("fetched_ms"),
-        F.col("resp_date_ms").alias("date_ms"),
-        F.col("resp_max_age_ms").alias("max_age_ms"),
-        F.col("resp_age_ms").alias("age_ms"),
-        F.col("resp_etag").alias("etag"),
-        F.col("resp_last_modified_ms").alias("last_modified_ms"),
-        F.col("resp_need_validate").alias("need_validate"),
-        F.col("resp_body_bytes").alias("body_bytes"),
-    )
-    updated_entry = F.struct(
-        F.lit(now_ms).cast("long").alias("fetched_ms"),
-        F.col("resp_date_ms").alias("date_ms"),
-        F.col("resp_max_age_ms").alias("max_age_ms"),
-        F.col("resp_age_ms").alias("age_ms"),
-        F.col("resp_etag").alias("etag"),
-        F.col("resp_last_modified_ms").alias("last_modified_ms"),
-        F.col("resp_need_validate").alias("need_validate"),
-        F.col("_old.body_bytes").alias("body_bytes"),  # body kept on 304
-    )
+    def entry(kept_body: bool) -> Column:
+        fields = []
+        for c in payload:
+            if c == "fetched_ms":
+                fields.append(now.alias(c))
+            elif kept_body and c not in control:
+                fields.append(F.col(f"_old.{c}").alias(c))
+            else:
+                fields.append(F.col(f"resp_{c}").alias(c))
+        return F.struct(*fields)
+
+    new_entry = entry(kept_body=False)
+    updated_entry = entry(kept_body=True)  # body kept on 304
     ok2xx = (F.col("status") >= 200) & (F.col("status") < 300)
     untouched = F.col("cache_route").isNull() | (F.col("cache_route") == "hit")
     reval = F.col("cache_route") == "revalidate"

@@ -89,6 +89,20 @@ HOST_POLICY_SCHEMA = StructType([
     StructField("robots_disallow", ArrayType(StringType())),
 ])
 
+# S5: the engine's fetch_cache state — the standard control fields of
+# operators/cache.CACHE_SCHEMA plus the test-semantics body stand-in
+# (status + raw link list + base_url = what serving the cached response
+# must reproduce). Column order defines cache_merge's struct layout.
+ENGINE_CACHE_SCHEMA = (
+    "url string, fetched_ms long, date_ms long, max_age_ms long, age_ms long, "
+    "etag string, last_modified_ms long, need_validate boolean, body_bytes long, "
+    "status int, links array<string>, base_url string"
+)
+_CACHE_JOIN_COLS = (
+    "fetched_ms", "date_ms", "max_age_ms", "age_ms", "etag",
+    "last_modified_ms", "need_validate", "status", "links", "base_url",
+)
+
 
 def _checkpoint(df: DataFrame) -> DataFrame:
     """Materialize + cut lineage AND cut statistics.
@@ -170,6 +184,7 @@ class CrawlResult:
     steps: int
     pops: int
     metrics: list = field(default_factory=list)
+    fetch_cache: Optional[DataFrame] = None  # final S5 cache state (if enabled)
 
 
 class CrawlEngine:
@@ -237,7 +252,8 @@ class CrawlEngine:
         from concurrent.futures import ThreadPoolExecutor
 
         # concurrent job submission for the independent per-step actions
-        self._pool = ThreadPoolExecutor(max_workers=4)
+        # (metrics probe + up to 4 state checkpoints when the cache is on)
+        self._pool = ThreadPoolExecutor(max_workers=5)
         # M5: sharded bloom prefilter in front of the exact seen anti-join
         # (never rejects alone — storage/boltstore's bloom-only Exist can
         # drop URLs; the north rule demands the exact set)
@@ -350,9 +366,17 @@ class CrawlEngine:
         n_invalid = c.where(~F.col("valid")).count()
         frontier = _checkpoint(frontier)
         seq_base = frontier.count()
+        fetch_cache = (
+            _checkpoint(spark.createDataFrame([], ENGINE_CACHE_SCHEMA))
+            if self.policy.cache_enabled
+            else None
+        )
         # bloom starts empty with cover_seq=0: every seed sits in the
         # "recent" slice until the first cadence rebuild — exact by design
-        return frontier, _checkpoint(seen), _checkpoint(host_state), seq_base, n_invalid
+        return (
+            frontier, _checkpoint(seen), _checkpoint(host_state), fetch_cache,
+            seq_base, n_invalid,
+        )
 
     # ------------------------------------------------------------------ #
     def _tag_cancelled(self, selected: DataFrame, host_state: DataFrame) -> DataFrame:
@@ -483,27 +507,71 @@ class CrawlEngine:
         ):
             self._bloom_rebuild(seen, seq_base)
 
-    def _web_cols(self):
+    def _web_cols(self, with_cache: bool = False):
         web = self.web
+        if with_cache:
+            # a web fixture without cache-header columns = every response
+            # uncacheable (all routes 'miss', cache stays empty)
+            for c, t in (
+                ("cache_max_age_ms", "long"),
+                ("cache_etag", "string"),
+                ("cache_need_validate", "boolean"),
+            ):
+                if c not in web.columns:
+                    web = web.withColumn(c, F.lit(None).cast(t))
+        extra_src = (
+            [
+                F.col("cache_max_age_ms").alias("w_cma"),
+                F.col("cache_etag").alias("w_etag"),
+                F.col("cache_need_validate").alias("w_nv"),
+            ]
+            if with_cache
+            else []
+        )
+        extra_tgt = (
+            [
+                F.col("cache_max_age_ms").alias("t_cma"),
+                F.col("cache_etag").alias("t_etag"),
+                F.col("cache_need_validate").alias("t_nv"),
+            ]
+            if with_cache
+            else []
+        )
         src = web.select(
             "url",
             F.col("status").alias("w_status"),
             F.col("out_links").alias("w_links"),
             "redirect_to",
+            *extra_src,
         )
         tgt = web.select(
             F.col("url").alias("redirect_to"),
             F.col("status").alias("t_status"),
             F.col("out_links").alias("t_links"),
+            *extra_tgt,
         )
         return src, tgt
 
-    def _fetch(self, selected: DataFrame, seen: DataFrame) -> DataFrame:
+    def _fetch(
+        self, selected: DataFrame, seen: DataFrame,
+        fetch_cache: Optional[DataFrame] = None,
+    ) -> DataFrame:
         """Test-semantics fetch: join the web fixture (deterministic stand-in
         for Client.Do, client.go:83-153), one redirect hop resolved
-        (fetch.go:73-81), status classified per client.go:120-136."""
+        (fetch.go:73-81), status classified per client.go:120-136.
+
+        With ``fetch_cache`` (S5, client.go:98-113): each pop is routed
+        hit/revalidate/miss at its own emit_ms; 'hit' serves the cached
+        (status, links, base_url) — the web columns are ignored for that
+        row, which is the batch phrasing of "no network fetch";
+        'revalidate' compares the cached etag against the response's
+        current etag — a match is a 304 (serve cached body, refresh
+        control fields), a mismatch is a full response. The merge inputs
+        (merge_status / resp_*) ride the fetched frame so the post-step
+        cache MERGE is pure column logic."""
         p = self.policy
-        src, tgt = self._web_cols()
+        use_cache = fetch_cache is not None
+        src, tgt = self._web_cols(with_cache=use_cache)
         seenj = seen.select(
             "url",
             F.col("last_ms").alias("old_last_ms"),
@@ -511,11 +579,13 @@ class CrawlEngine:
             F.col("num_retry").alias("old_num_retry"),
             F.col("seq").alias("seen_seq"),
         )
-        f = (
-            selected.join(seenj, "url", "left")
-            .join(src, "url", "left")
-            .join(tgt, "redirect_to", "left")
-        )
+        f = selected.join(seenj, "url", "left")
+        if use_cache:
+            cj = fetch_cache.select(
+                "url", *[F.col(c).alias(f"c_{c}") for c in _CACHE_JOIN_COLS]
+            )
+            f = f.join(cj, "url", "left")
+        f = f.join(src, "url", "left").join(tgt, "redirect_to", "left")
         eff_status = F.when(
             F.col("redirect_to").isNotNull(), F.coalesce("t_status", F.lit(0))
         ).otherwise(F.coalesce("w_status", F.lit(0)))
@@ -527,6 +597,49 @@ class CrawlEngine:
         links_arr = F.when(
             inject, F.concat(F.array(F.col("redirect_to")), eff_links)
         ).otherwise(eff_links)
+
+        cache_cols = []
+        if use_cache:
+            from crawler_spark.operators.cache import CACHEABLE_STATUS, cache_route_col
+
+            route = F.when(F.col("cancelled"), F.lit(None).cast("string")).otherwise(
+                cache_route_col(F.col("emit_ms"), prefix="c_")
+            )
+            eff_cma = F.when(F.col("redirect_to").isNotNull(), F.col("t_cma")).otherwise(F.col("w_cma"))
+            eff_etag = F.when(F.col("redirect_to").isNotNull(), F.col("t_etag")).otherwise(F.col("w_etag"))
+            eff_nv = F.coalesce(
+                F.when(F.col("redirect_to").isNotNull(), F.col("t_nv")).otherwise(F.col("w_nv")),
+                F.lit(False),
+            )
+            f = f.withColumn("cache_route", route)
+            r304 = (
+                (F.col("cache_route") == "revalidate")
+                & F.col("c_etag").isNotNull()
+                & eff_etag.isNotNull()
+                & (F.col("c_etag") == eff_etag)
+            )
+            served_cached = (F.col("cache_route") == "hit") | r304
+            eff_status = F.when(served_cached, F.col("c_status")).otherwise(eff_status)
+            links_arr = F.when(served_cached, F.col("c_links")).otherwise(links_arr)
+            base_url = F.when(served_cached, F.col("c_base_url")).otherwise(base_url)
+            merge_status = F.when(r304, F.lit(304)).otherwise(
+                F.when(F.col("redirect_to").isNotNull(), F.coalesce("t_status", F.lit(0)))
+                .otherwise(F.coalesce("w_status", F.lit(0)))
+            )
+            resp_cacheable = eff_cma.isNotNull() & (
+                r304 | merge_status.isin(list(CACHEABLE_STATUS))
+            )
+            cache_cols = [
+                F.col("cache_route"),
+                merge_status.cast("int").alias("merge_status"),
+                resp_cacheable.alias("resp_cacheable"),
+                eff_cma.cast("long").alias("resp_max_age_ms"),
+                eff_etag.alias("resp_etag"),
+                eff_nv.alias("resp_need_validate"),
+            ]
+        else:
+            cache_cols = [F.lit(None).cast("string").alias("cache_route")]
+
         f = f.withColumn(
             "status",
             F.when(F.col("cancelled"), F.lit(None)).otherwise(eff_status).cast("int"),
@@ -548,6 +661,7 @@ class CrawlEngine:
             "old_last_ms", "old_num_visit", "old_num_retry", "seen_seq",
             "status", "outcome",
             base_url.alias("base_url"), links_arr.alias("links_arr"),
+            *cache_cols,
         )
 
     def _extract_links(self, fetched: DataFrame, seen: DataFrame):
@@ -739,8 +853,8 @@ class CrawlEngine:
 
     # ------------------------------------------------------------------ #
     def run(self, seeds: list[str]) -> CrawlResult:
-        frontier, seen, host_state, seq_base, n_invalid_seeds = self._init_state(seeds)
-        return self._loop(frontier, seen, host_state, seq_base, step0=0, pops0=0)
+        frontier, seen, host_state, cache, seq_base, n_invalid_seeds = self._init_state(seeds)
+        return self._loop(frontier, seen, host_state, cache, seq_base, step0=0, pops0=0)
 
     def resume(self) -> CrawlResult:
         m = self.store.latest()
@@ -751,10 +865,20 @@ class CrawlEngine:
         # distributed rebuild from the snapshot (no driver collect of URLs)
         self._bloom_rebuild(frames["seen"], m["seq_base"])
         self._replay_consumed_after(m["step"])
+        cache = None
+        if self.policy.cache_enabled:
+            # pre-cache snapshots resume with an empty cache (routes
+            # degrade to 'miss' — correctness unaffected, see _fetch)
+            cache = _checkpoint(
+                frames["fetch_cache"]
+                if "fetch_cache" in frames
+                else self.spark.createDataFrame([], ENGINE_CACHE_SCHEMA)
+            )
         return self._loop(
             _checkpoint(frames["frontier"]),
             _checkpoint(frames["seen"]),
             _checkpoint(frames["host_state"]),
+            cache,
             m["seq_base"],
             step0=m["step"],
             pops0=m["pops"],
@@ -773,7 +897,7 @@ class CrawlEngine:
         for s, fetched in self._emit_buf:
             f = fetched.select(
                 "emit_ms", "prio", "seq", "url",
-                "host_key", "depth", "score", "status", "outcome",
+                "host_key", "depth", "score", "status", "outcome", "cache_route",
             ).withColumn("step", F.lit(s))
             out = f if out is None else out.unionByName(f)
         (
@@ -786,7 +910,10 @@ class CrawlEngine:
             _release_checkpoint(fetched)
         self._emit_buf = []
 
-    def _loop(self, frontier, seen, host_state, seq_base, step0: int, pops0: int) -> CrawlResult:
+    def _loop(
+        self, frontier, seen, host_state, fetch_cache, seq_base,
+        step0: int, pops0: int,
+    ) -> CrawlResult:
         p = self.policy
         step, pops = step0, pops0
         while step < self.max_steps:
@@ -812,7 +939,7 @@ class CrawlEngine:
             # the selection plan materializes once, inside fetched — no
             # separate checkpoint/count jobs for the selected batch
             selected_plan = self._tag_cancelled(sel.selected, host_state)
-            fetched = _checkpoint(self._fetch(selected_plan, seen))
+            fetched = _checkpoint(self._fetch(selected_plan, seen, fetch_cache))
             sel.release()
             step += 1
 
@@ -921,6 +1048,37 @@ class CrawlEngine:
             f_fut = self._pool.submit(_checkpoint, new_frontier_plan)
             s_fut = self._pool.submit(_checkpoint, new_seen)
             h_fut = self._pool.submit(_checkpoint, new_host_state)
+            c_fut2 = None
+            if fetch_cache is not None:
+                # S5 cache MERGE (Pool.Set/Update/Remove, cache.go:190-264)
+                # + size-bounded eviction on its cadence — one more
+                # independent state job, checkpointed concurrently
+                from crawler_spark.operators.cache import cache_merge, evict_cache
+
+                results = fetched.select(
+                    "url", "cache_route", "emit_ms",
+                    F.col("merge_status").alias("status"),
+                    "resp_cacheable",
+                    F.col("emit_ms").cast("long").alias("resp_date_ms"),
+                    F.col("resp_max_age_ms"),
+                    F.lit(0).cast("long").alias("resp_age_ms"),
+                    "resp_etag",
+                    F.lit(None).cast("long").alias("resp_last_modified_ms"),
+                    "resp_need_validate",
+                    (F.lit(100) + F.lit(10) * F.coalesce(F.size("links_arr"), F.lit(0)))
+                    .cast("long")
+                    .alias("resp_body_bytes"),
+                    F.col("status").cast("int").alias("resp_status"),
+                    F.col("links_arr").alias("resp_links"),
+                    F.col("base_url").alias("resp_base_url"),
+                )
+                new_cache_plan = cache_merge(fetch_cache, results, F.col("emit_ms"))
+                if p.cache_max_bytes is not None and step % p.cache_evict_every == 0:
+                    new_cache_plan = evict_cache(
+                        new_cache_plan, p.cache_max_bytes,
+                        partitioned=p.cache_evict_partitioned,
+                    )
+                c_fut2 = self._pool.submit(_checkpoint, new_cache_plan)
 
             cnt_rows = c_fut.result()
             if lk is not None:
@@ -939,11 +1097,12 @@ class CrawlEngine:
             new_frontier = f_fut.result()
             new_seen = s_fut.result()
             new_host_state = h_fut.result()
+            new_cache = c_fut2.result() if c_fut2 is not None else None
             if n_sel == 0:
                 if deferred and frontier.isEmpty():
                     step -= 1  # empty tail step: frontier drained — IsFinished
                     self._emit_buf.pop()  # nothing was emitted this step
-                    for nf in (fetched, items, new_frontier, new_seen, new_host_state):
+                    for nf in (fetched, items, new_frontier, new_seen, new_host_state, new_cache):
                         _release_checkpoint(nf)
                     break
                 raise RuntimeError(f"liveness violation: no pop at e_min={sel.e_min}")
@@ -953,11 +1112,12 @@ class CrawlEngine:
 
             # free the previous generation's checkpoint blocks + step
             # frames (fetched stays alive in the emit buffer until flush)
-            for old in (frontier, seen, host_state, items):
+            for old in (frontier, seen, host_state, items, fetch_cache):
                 _release_checkpoint(old)
             if len(self._emit_buf) >= self.emit_every:
                 self._flush_emitted()
             frontier, seen, host_state = new_frontier, new_seen, new_host_state
+            fetch_cache = new_cache
             # bloom cadence: fold the recent slice into the shards via a
             # distributed rebuild when it grows past the broadcast budget
             self._bloom_after_step(seen, seq_base, n_items)
@@ -974,10 +1134,13 @@ class CrawlEngine:
                 # flush first: a snapshot must only become visible with
                 # its emitted-log prefix durable (resume replays forward)
                 self._flush_emitted()
+                frames = {"frontier": frontier, "seen": seen, "host_state": host_state}
+                if fetch_cache is not None:
+                    frames["fetch_cache"] = fetch_cache
                 self.store.commit(
                     step,
                     {"seq_base": seq_base, "pops": pops, "metrics": self.metrics},
-                    {"frontier": frontier, "seen": seen, "host_state": host_state},
+                    frames,
                 )
 
         self._flush_emitted()
@@ -985,7 +1148,10 @@ class CrawlEngine:
         emitted = (
             self.spark.read.option("basePath", emitted_root).parquet(emitted_root + "/step=*")
             if os.path.exists(emitted_root)
-            else self.spark.createDataFrame([], "step int, emit_ms long, prio int, seq long, url string, host_key string, depth int, score int, status int, outcome string")
+            else self.spark.createDataFrame([], "step int, emit_ms long, prio int, seq long, url string, host_key string, depth int, score int, status int, outcome string, cache_route string")
         )
         emitted = with_emit_order(emitted.where(F.col("step") <= step))
-        return CrawlResult(emitted=emitted, seen=seen, steps=step, pops=pops, metrics=self.metrics)
+        return CrawlResult(
+            emitted=emitted, seen=seen, steps=step, pops=pops,
+            metrics=self.metrics, fetch_cache=fetch_cache,
+        )

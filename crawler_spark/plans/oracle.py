@@ -50,6 +50,10 @@ class WebRow:
     status: int = 200
     out_links: tuple = ()
     redirect_to: Optional[str] = None
+    # S5 cache headers of THIS response (None max-age = uncacheable)
+    cache_max_age_ms: Optional[int] = None
+    cache_etag: Optional[str] = None
+    cache_need_validate: bool = False
 
 
 @dataclass
@@ -90,6 +94,7 @@ class OracleResult:
     emitted: list = field(default_factory=list)  # dicts, in exact crawl order
     seen: dict = field(default_factory=dict)  # url -> SeenRow
     rejected: dict = field(default_factory=dict)  # reason -> count
+    cache: dict = field(default_factory=dict)  # url -> fetch_cache entry dict
 
 
 def crawl_oracle(
@@ -168,6 +173,7 @@ def crawl_oracle(
                     emit_ord=len(res.emitted), url=item.url, host_key=host,
                     depth=item.depth, emit_ms=emit, score=item.score,
                     prio=item.prio, seq=item.seq, status=None, outcome="cancel",
+                    cache_route=None,
                 )
             )
             sr.status = None
@@ -175,16 +181,73 @@ def crawl_oracle(
             continue
         resp_count[host] = resp_count.get(host, 0) + 1
 
+        # --- S5 cache route (client.go:98-113): hit serves the cached
+        # response without touching the web; revalidate is a conditional
+        # fetch (etag match → 304 → control refresh, body kept) ----------
+        route = None
+        ent = res.cache.get(item.url) if policy.cache_enabled else None
+        if policy.cache_enabled:
+            if (
+                ent is not None
+                and not ent["need_validate"]
+                and ent["age_ms"] + (emit - ent["fetched_ms"]) < ent["max_age_ms"]
+            ):
+                route = "hit"
+            elif ent is not None and (
+                ent["etag"] is not None or ent["last_modified_ms"] is not None
+            ):
+                route = "revalidate"
+            else:
+                route = "miss"
+
         # --- fetch (test semantics: join the web fixture) -----------------
-        row = web.get(item.url)
-        injected: list[str] = []
-        base = item.url
-        if row is not None and row.redirect_to is not None:
-            if policy.follow_redirects:
-                injected = [row.redirect_to]
-            base = row.redirect_to
-            row = web.get(row.redirect_to)
-        status = row.status if row is not None else 0
+        if route == "hit":
+            status = ent["status"]
+            links = list(ent["links"])
+            base = ent["base_url"]
+        else:
+            row = web.get(item.url)
+            injected: list[str] = []
+            base = item.url
+            if row is not None and row.redirect_to is not None:
+                if policy.follow_redirects:
+                    injected = [row.redirect_to]
+                base = row.redirect_to
+                row = web.get(row.redirect_to)
+            status = row.status if row is not None else 0
+            links = list(injected) + list(row.out_links or () if row else ())
+            eff_cma = row.cache_max_age_ms if row is not None else None
+            eff_etag = row.cache_etag if row is not None else None
+            eff_nv = bool(row.cache_need_validate) if row is not None else False
+            if (
+                route == "revalidate"
+                and ent["etag"] is not None
+                and eff_etag is not None
+                and ent["etag"] == eff_etag
+            ):
+                # 304 Not Modified: serve the cached body; Update control
+                # fields (cache.go:227-230) or Remove if now uncacheable
+                status, links, base = ent["status"], list(ent["links"]), ent["base_url"]
+                if eff_cma is None:
+                    del res.cache[item.url]
+                else:
+                    ent.update(
+                        fetched_ms=emit, date_ms=emit, max_age_ms=eff_cma,
+                        age_ms=0, etag=eff_etag, need_validate=eff_nv,
+                    )
+            elif policy.cache_enabled:
+                # full response: Set if cacheable, Remove on a modified
+                # revalidation that came back uncacheable (client.go:184-186)
+                cacheable = eff_cma is not None and status in (200, 203, 206, 300, 301)
+                if 200 <= status < 300 and cacheable:
+                    res.cache[item.url] = dict(
+                        fetched_ms=emit, date_ms=emit, max_age_ms=eff_cma,
+                        age_ms=0, etag=eff_etag, last_modified_ms=None,
+                        need_validate=eff_nv, body_bytes=100 + 10 * len(links),
+                        status=status, links=list(links), base_url=base,
+                    )
+                elif route == "revalidate" and 200 <= status < 300 and not cacheable:
+                    res.cache.pop(item.url, None)
         if 200 <= status < 300:
             outcome = "ok"
         elif status >= 500 or (400 <= status != 404) or status == 0:
@@ -204,12 +267,13 @@ def crawl_oracle(
                 seq=item.seq,
                 status=status,
                 outcome=outcome,
+                cache_route=route,
             )
         )
 
         if outcome == "ok":
             # links first (schedule.go:129-136), then resched (:137-140)
-            for raw in list(injected) + list(row.out_links or ()):
+            for raw in links:
                 c = resolve(base, raw)
                 if not c.valid:
                     reject(f"link-{c.reason}")

@@ -24,7 +24,8 @@ from crawler_spark.plans.oracle import HostPolicy, WebRow
 
 WEB_SCHEMA = (
     "url string, host_key string, status int, out_links array<string>, redirect_to string, "
-    "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long"
+    "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long, "
+    "cache_max_age_ms long, cache_etag string, cache_need_validate boolean"
 )
 HOST_POLICY_COLS = ["host_key", "interval_ms", "max_visits", "robots_disallow"]
 
@@ -72,6 +73,9 @@ class SynthWeb:
                 status=r["status"],
                 out_links=tuple(r["out_links"] or ()),
                 redirect_to=r["redirect_to"],
+                cache_max_age_ms=r.get("cache_max_age_ms"),
+                cache_etag=r.get("cache_etag"),
+                cache_need_validate=bool(r.get("cache_need_validate") or False),
             )
             for r in self.rows
         }
@@ -102,8 +106,13 @@ def synth_web(
     max_visits: int = 1,
     with_payload: bool = True,
     zipf_s: float = 1.2,
+    cache_rate: float = 0.0,
 ) -> SynthWeb:
     rng = random.Random(seed)
+    # cache headers come from an INDEPENDENT stream so turning them on
+    # (or changing cache_rate) never perturbs the web topology existing
+    # seeded tests were recorded against
+    crng = random.Random(seed ^ 0x5CACE5)
     hosts = [f"h{i}.example.com" for i in range(n_hosts)]
     # Zipf-ish page counts per host (skew fixture)
     weights = [1.0 / ((i + 1) ** zipf_s) for i in range(n_hosts)]
@@ -161,6 +170,21 @@ def synth_web(
             if cand != u and cand not in redirect_targets:
                 redirect_to = cand
                 redirect_targets.add(u)  # this row redirects; don't chain onto it
+        # S5 cache headers (client.go:98-113 / cache.go:58-134 inputs):
+        # a cache_rate slice of pages is cacheable, split across the
+        # freshness regimes the router distinguishes — long-fresh (hit
+        # on revisit), short-fresh + etag (fresh then revalidate),
+        # no-cache + etag (always revalidate), uncacheable (miss).
+        cma, cet, cnv = None, None, False
+        if crng.random() < cache_rate:
+            kind = crng.randrange(4)
+            if kind == 0:
+                cma, cet = 1_000_000_000, f"W/\"e{i}\""
+            elif kind == 1:
+                cma, cet = crng.choice([50, 100, 200]), f"W/\"e{i}\""
+            elif kind == 2:
+                cma, cet, cnv = 0, f"W/\"e{i}\"", True
+            # kind 3: uncacheable (all null)
         prng = random.Random(seed * 1_000_003 + i)
         rows.append(
             dict(
@@ -176,6 +200,9 @@ def synth_web(
                 fmt="png",
                 caption=f"caption {i} — 图{i}",
                 phash=prng.getrandbits(63),
+                cache_max_age_ms=cma,
+                cache_etag=cet,
+                cache_need_validate=cnv,
             )
         )
     # avoid redirect chains: a row that is itself a redirect target must not redirect

@@ -45,11 +45,13 @@ class PyTrie:
         self.threshold = threshold
         self.root: dict = {}
 
-    def add(self, url: str) -> bool:
+    def add(self, url: str, enforce: bool = True) -> bool:
+        """``enforce=False`` inserts unconditionally (seed injection —
+        seeds are never trap-rejected, they predate the census)."""
         node = self.root
         for depth, seg in enumerate(_segments(url), start=1):
             if seg not in node:
-                if len(node) >= self.threshold(depth):
+                if enforce and len(node) >= self.threshold(depth):
                     return False
                 node[seg] = {}
             node = node[seg]

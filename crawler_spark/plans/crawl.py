@@ -293,6 +293,9 @@ class CrawlEngine:
         self.seq_assign = seq_assign
         self.seq_offset_threshold = seq_offset_threshold
         self._last_n_items = 0
+        # L8 trap guard state (trap_check_every > 1 keeps a stale list)
+        self._traps = None
+        self._trap_steps_since_refresh = 0
         # emitted-log write batching: one partitioned write job per
         # `emit_every` steps instead of one per step
         self.emit_every = max(1, emit_every)
@@ -722,6 +725,38 @@ class CrawlEngine:
             .agg(F.min_by(F.struct(*ocols), okey).alias("_w"))
             .select("url", "_w.*")
         )
+        # L8: URL-trie trap guard at link admission (urltrie.go:65-193,
+        # wired like example/static-crawler/main.go:42-49's Accept hook).
+        # Census = exact distinct-child counts over seen ∪ this batch's
+        # candidates; trapped prefixes broadcast-anti-join the batch.
+        # Monotone batch semantics: rejections are a SUPERSET of the
+        # serial trie's (any node the serial walk finds full is at or
+        # past threshold in this census), so a trap can never leak URLs
+        # the reference would have blocked. With trap_check_every > 1 a
+        # checkpointed trap list is reused between refreshes.
+        if p.trap_threshold_expr is not None:
+            from crawler_spark.operators.urltrie import filter_trapped, trap_prefixes
+
+            if (
+                self._traps is None
+                or self._trap_steps_since_refresh >= p.trap_check_every - 1
+            ):
+                census_src = good.select("url", "host_key").unionByName(
+                    seen.select("url", "host_key")
+                )
+                traps = trap_prefixes(
+                    census_src, p.trap_threshold_expr, exact=True
+                )
+                if p.trap_check_every > 1:
+                    traps = _checkpoint(traps)
+                    _release_checkpoint(self._traps)
+                    self._traps = traps
+                    self._trap_steps_since_refresh = 0
+            else:
+                traps = self._traps
+                self._trap_steps_since_refresh += 1
+            good = filter_trapped(good, traps)
+
         # exact URL-seen anti-join (north rule: exact set); with bloom
         # enabled, proven-fresh rows skip the shuffle probe (M5)
         if self.bloom is not None:

@@ -104,8 +104,23 @@ def crawl_oracle(
     policy: CrawlPolicy = CrawlPolicy(),
     ticket_at: str = "avail",
     max_pops: int = 1_000_000,
+    trap_threshold=None,
 ) -> OracleResult:
+    """``trap_threshold`` (L8): callable depth→int enabling the serial
+    URL-trie trap guard at link admission (urltrie.go:65-193) — one trie
+    per host, reference-exact first-N-win semantics. The engine's batch
+    guard is the monotone refinement: it rejects a superset, so trie-
+    rejected URLs are an upper bound on what the engine admits."""
     res = OracleResult()
+    tries: dict[str, "object"] = {}
+    if trap_threshold is not None:
+        from crawler_spark.operators.urltrie import PyTrie
+
+        def trie_for(host: str):
+            t = tries.get(host)
+            if t is None:
+                t = tries[host] = PyTrie(trap_threshold)
+            return t
     secondary: dict[str, list[Item]] = {}
     last_ms: dict[str, int] = {}
     resp_count: dict[str, int] = {}  # C6 host budget counter
@@ -139,6 +154,8 @@ def crawl_oracle(
             continue
         score = policy.score_fn(0)
         res.seen[c.url] = SeenRow(depth=0, seq=seq_counter)
+        if trap_threshold is not None:
+            trie_for(c.host_key).add(c.url, enforce=False)  # seeds bypass
         push(c.url, c.host_key, ticket_next(0), 0, score, 0, seq_counter)
         seq_counter += 1
 
@@ -292,6 +309,9 @@ def crawl_oracle(
                     else any(c.path.startswith(p) for p in hpol.robots_disallow)
                 ):
                     reject("link-robots")
+                    continue
+                if trap_threshold is not None and not trie_for(c.host_key).add(c.url):
+                    reject("link-trap")
                     continue
                 if c.url in res.seen:
                     continue

@@ -130,6 +130,11 @@ def main() -> None:
     timings["crawl_loop"] = crawl_sec
     urls_per_sec = round(res.pops / crawl_sec, 1)
 
+    # approximation-quality artifacts (VERDICT r2 item 10): recall of the
+    # approximate similarity operators vs their exact faces, recorded per
+    # round so quality drift is visible, not just pass/fail
+    recall = _recall_metrics(spark)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -143,9 +148,56 @@ def main() -> None:
                 "crawl_steps": res.steps,
                 "crawl_urls_per_sec": urls_per_sec,
                 "cpus": CPUS,
+                "recall": recall,
             }
         )
     )
+
+
+def _recall_metrics(spark) -> dict:
+    """SRP near-dup recall (planted corpus, exact-precision by
+    construction) + ANN recall@10 of the SRP-bucketed and IVF paths vs
+    brute-force cosine on the benchmark embeddings table."""
+    import numpy as np
+
+    from crawler_spark.operators.dedup import embedding_near_dups
+    from crawler_spark.operators.similarity import ann_topk_srp, cosine_topk, ivf_topk
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(100, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(f"b{i:03d}", [float(x) for x in base[i]]) for i in range(100)]
+    for i in range(30):
+        v2 = base[i] + 0.03 * rng.normal(size=64)
+        v2 /= np.linalg.norm(v2)
+        rows.append((f"d{i:03d}", [float(x) for x in v2]))
+    M = np.array([r[1] for r in rows])
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    S = M @ M.T
+    ids = [r[0] for r in rows]
+    truth = {
+        (ids[i], ids[j])
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if S[i, j] >= 0.95
+    }
+    emb = spark.createDataFrame(rows, "id string, embedding array<double>")
+    found = {
+        tuple(sorted((r["id_a"], r["id_b"])))
+        for r in embedding_near_dups(emb, "id", "embedding", threshold=0.95).collect()
+    }
+    srp_neardup = round(len(found & truth) / max(1, len(truth)), 4)
+
+    bench_emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    q = list(bench_emb.orderBy("vec_id").first()["embedding"])
+    exact = [r["id"] for r in cosine_topk(bench_emb, "vec_id", "embedding", q, 10).collect()]
+    srp = [r["id"] for r in ann_topk_srp(bench_emb, "vec_id", "embedding", q, 10).collect()]
+    ivf = [r["id"] for r in ivf_topk(bench_emb, "vec_id", "embedding", q, 10).collect()]
+    return {
+        "srp_neardup_recall@0.95": srp_neardup,
+        "ann_srp_recall@10": round(len(set(srp) & set(exact)) / 10, 2),
+        "ann_ivf_recall@10": round(len(set(ivf) & set(exact)) / 10, 2),
+    }
 
 
 if __name__ == "__main__":

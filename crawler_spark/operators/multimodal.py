@@ -101,38 +101,40 @@ def decode_png_stub(data: bytes, fmt: str) -> list[list[list[int]]]:
         pos += 12 + ln
     raw = zlib.decompress(idat)
     stride = w * 3
-    out: list[list[list[int]]] = []
-    prev = bytearray(stride)
+    import numpy as np
+
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    scan = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
     for y in range(h):
-        row = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
-        filt = raw[y * (stride + 1)]
-        if filt == 1:  # Sub
-            for i in range(3, stride):
-                row[i] = (row[i] + row[i - 3]) & 0xFF
+        filt = int(scan[y, 0])
+        row = scan[y, 1:].copy()
+        if filt == 1:  # Sub: per-channel prefix sum mod 256
+            row = np.cumsum(row.reshape(w, 3), axis=0, dtype=np.uint64).astype(np.uint8).reshape(stride)
         elif filt == 2:  # Up
-            for i in range(stride):
-                row[i] = (row[i] + prev[i]) & 0xFF
+            row += prev  # uint8 wraps mod 256
         elif filt != 0:
             raise NotImplementedError(f"filter {filt}")
         prev = row
-        out.append([[row[x * 3], row[x * 3 + 1], row[x * 3 + 2]] for x in range(w)])
-    return out
+        out[y] = row.reshape(w, 3)
+    return out.tolist()
 
 
 def psnr(a, b) -> float:
-    """Peak signal-to-noise ratio between two decoded pixel arrays."""
+    """Peak signal-to-noise ratio between two decoded pixel arrays
+    (vectorized — the kernel runs per row pair at corpus scale)."""
     import math
 
-    n = 0
-    se = 0
-    for ra, rb in zip(a, b):
-        for pa, pb in zip(ra, rb):
-            for ca, cb in zip(pa, pb):
-                se += (ca - cb) ** 2
-                n += 1
-    if n == 0 or se == 0:
+    import numpy as np
+
+    aa = np.asarray(a, dtype=np.int64)
+    bb = np.asarray(b, dtype=np.int64)
+    if aa.size == 0:
         return float("inf")
-    return 10.0 * math.log10(255.0 * 255.0 / (se / n))
+    mse = float(np.mean((aa - bb) ** 2))
+    if mse == 0:
+        return float("inf")
+    return 10.0 * math.log10(255.0 * 255.0 / mse)
 
 
 # --------------------------------------------------------------------- #
@@ -149,26 +151,27 @@ def extract_features(
     import pandas as pd
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        # zip over column arrays, not iterrows: same batch, ~10× less
+        # per-row overhead — decode is the only per-row Python left
         for pdf in it:
             feats = []
-            for _, r in pdf.iterrows():
-                px = decoder(bytes(r["bytes"]), r["fmt"])
-                h = len(px)
-                w = len(px[0]) if h else 0
-                sums = [0, 0, 0]
-                for row in px:
-                    for p in row:
-                        for c in range(3):
-                            sums[c] += p[c]
+            for image_id, data, fmt, ph in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"], pdf["phash"]
+            ):
+                px = np.asarray(decoder(bytes(data), fmt), dtype=np.int64)
+                h, w = (px.shape[0], px.shape[1]) if px.ndim == 3 else (0, 0)
+                sums = px.sum(axis=(0, 1)) if px.size else np.zeros(3, dtype=np.int64)
                 npx = max(1, w * h)
                 feats.append(
                     dict(
-                        image_id=r["image_id"],
+                        image_id=image_id,
                         w=w,
                         h=h,
-                        n_bytes=len(r["bytes"]),
-                        mean_px=[s // npx for s in sums],
-                        phash=int(r["phash"]) if r["phash"] is not None else None,
+                        n_bytes=len(data),
+                        mean_px=[int(s) // npx for s in sums],
+                        phash=int(ph) if ph is not None else None,
                     )
                 )
             yield pd.DataFrame(feats, columns=FEATURE_SCHEMA.fieldNames())
@@ -180,11 +183,11 @@ def extract_features(
 def encode_png_stub(px: list[list[list[int]]]) -> bytes:
     """Minimal stdlib PNG encoder (8-bit RGB, filter 0) — the inverse of
     ``decode_png_stub``; production plugs a real codec here."""
-    h = len(px)
-    w = len(px[0]) if h else 0
-    raw = b"".join(
-        b"\x00" + bytes(c for p in row for c in p) for row in px
-    )
+    import numpy as np
+
+    arr = np.asarray(px, dtype=np.uint8)
+    h, w = (arr.shape[0], arr.shape[1]) if arr.ndim == 3 else (0, 0)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
 
     def chunk(tag: bytes, data: bytes) -> bytes:
         return (
@@ -215,21 +218,26 @@ def resize_images(
     import pandas as pd
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
         for pdf in it:
             rows = []
-            for _, r in pdf.iterrows():
-                px = decoder(bytes(r["bytes"]), r["fmt"])
-                sh = len(px)
-                sw = len(px[0]) if sh else 0
-                out = [
-                    [px[(y * sh) // target_h][(x * sw) // target_w] for x in range(target_w)]
-                    for y in range(target_h)
-                ] if sh and sw else [[[0, 0, 0]] * target_w for _ in range(target_h)]
+            for image_id, data, fmt, caption, ph in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"], pdf["caption"], pdf["phash"]
+            ):
+                px = np.asarray(decoder(bytes(data), fmt), dtype=np.uint8)
+                if px.ndim == 3 and px.size:
+                    sh, sw = px.shape[0], px.shape[1]
+                    yi = (np.arange(target_h) * sh) // target_h
+                    xi = (np.arange(target_w) * sw) // target_w
+                    out = px[yi][:, xi]  # nearest-neighbour gather
+                else:
+                    out = np.zeros((target_h, target_w, 3), dtype=np.uint8)
                 rows.append(
                     dict(
-                        image_id=r["image_id"], bytes=encoder(out),
+                        image_id=image_id, bytes=encoder(out.tolist()),
                         w=target_w, h=target_h, fmt="png",
-                        caption=r["caption"], phash=r["phash"],
+                        caption=caption, phash=ph,
                     )
                 )
             yield pd.DataFrame(rows, columns=PAYLOAD_SCHEMA.fieldNames())
@@ -314,15 +322,18 @@ def validate_payloads(
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in it:
             rows = []
-            for _, r in pdf.iterrows():
-                pa = decoder(bytes(r["b_a"]), r["fmt_a"])
-                pb = decoder(bytes(r["b_b"]), r["fmt_b"])
+            for image_id, b_a, fmt_a, cap_a, b_b, fmt_b, cap_b in zip(
+                pdf["image_id"], pdf["b_a"], pdf["fmt_a"], pdf["cap_a"],
+                pdf["b_b"], pdf["fmt_b"], pdf["cap_b"],
+            ):
+                pa = decoder(bytes(b_a), fmt_a)
+                pb = decoder(bytes(b_b), fmt_b)
                 p = psnr(pa, pb)
-                cap_ok = r["cap_a"] == r["cap_b"]
-                lossless = r["fmt_a"] in ("png",)
+                cap_ok = cap_a == cap_b
+                lossless = fmt_a in ("png",)
                 img_ok = (p == float("inf")) if lossless else (p >= min_psnr_db)
                 rows.append(
-                    dict(image_id=r["image_id"], psnr_db=p, caption_ok=cap_ok,
+                    dict(image_id=image_id, psnr_db=p, caption_ok=cap_ok,
                          passed=bool(img_ok and cap_ok))
                 )
             yield pd.DataFrame(rows, columns=schema.fieldNames())

@@ -50,6 +50,16 @@ def topk_global(frontier: DataFrame, k: int) -> DataFrame:
 
 
 def with_emit_order(emitted: DataFrame) -> DataFrame:
-    """Assign the final crawl-order ordinal over the emitted log."""
-    w = Window.orderBy(*emit_order())
+    """Assign the final crawl-order ordinal over the emitted log.
+
+    Sort key: (step, emit_ms, prio, seq). The step comes FIRST because
+    pops are finalized step-by-step and a later step can discover an
+    item that pops at the SAME virtual time with a better priority
+    (preemptive mux/score policies at interval-0 hosts): the serial
+    scheduler pops it after the already-finalized items, so the disk
+    order (emit_ms, prio, seq) alone would retro-sort it ahead of pops
+    that factually preceded it. Within a step the disk order is the pop
+    order; across steps e_min (and fast-mode emit ranges) never
+    decrease, so the composite key is consistent in every mode."""
+    w = Window.orderBy(F.col("step").asc(), *emit_order())
     return emitted.withColumn("emit_ord", F.row_number().over(w) - F.lit(1))

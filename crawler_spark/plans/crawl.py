@@ -104,6 +104,10 @@ _CACHE_JOIN_COLS = (
 )
 
 
+_WARNED_CKPT_FALLBACK = False
+_FORCE_CKPT_FALLBACK = False  # tests flip this to exercise the fallback
+
+
 def _checkpoint(df: DataFrame) -> DataFrame:
     """Materialize + cut lineage AND cut statistics.
 
@@ -118,12 +122,34 @@ def _checkpoint(df: DataFrame) -> DataFrame:
     drops the poisoned stats (leaf reverts to defaultSizeInBytes, a
     constant). Broadcast decisions don't regress: the loop broadcasts
     its small sides explicitly.
+
+    The stats-cut goes through private JVM seams (`queryExecution().
+    toRdd()` + `internalCreateDataFrame`) that a Spark upgrade may move;
+    if they throw, fall back to the plain localCheckpoint — the engine
+    stays CORRECT, only the per-step planning cost regresses (pin the
+    Spark version or re-find the seam if that happens; the fallback
+    logs once). Verified against pyspark 4.1.x.
     """
     spark = df.sparkSession
     ck = df.localCheckpoint(eager=True)
-    jrdd = ck._jdf.queryExecution().toRdd()
-    jschema = spark._jvm.org.apache.spark.sql.types.DataType.fromJson(ck.schema.json())
-    out = DataFrame(spark._jsparkSession.internalCreateDataFrame(jrdd, jschema, False), spark)
+    try:
+        if _FORCE_CKPT_FALLBACK:
+            raise RuntimeError("forced fallback (tests exercise the seamless path)")
+        jrdd = ck._jdf.queryExecution().toRdd()
+        jschema = spark._jvm.org.apache.spark.sql.types.DataType.fromJson(ck.schema.json())
+        out = DataFrame(spark._jsparkSession.internalCreateDataFrame(jrdd, jschema, False), spark)
+    except Exception:
+        global _WARNED_CKPT_FALLBACK
+        if not _WARNED_CKPT_FALLBACK:
+            _WARNED_CKPT_FALLBACK = True
+            import warnings
+
+            warnings.warn(
+                "crawler_spark: internal checkpoint seam unavailable on this "
+                "Spark version; falling back to plain localCheckpoint (correct "
+                "but Catalyst stats poisoning makes long loops re-plan slowly)"
+            )
+        out = ck
     out._ckpt_source = ck  # handle for _release_checkpoint
     aux = getattr(df, "_ckpt_aux", None)
     if aux is not None:
@@ -199,6 +225,7 @@ class CrawlEngine:
         snapshot_every: int = 0,
         max_steps: int = 100_000,
         max_pops: Optional[int] = None,
+        mux=None,
         metrics_level: int = 1,
         enqueue_dir: Optional[str] = None,
         seq_assign: str = "auto",
@@ -207,10 +234,23 @@ class CrawlEngine:
         bloom_rebuild_steps: int = 8,
         emit_every: int = 4,
         deferred_emin: str = "auto",
+        robots_broadcast_max_hosts: int = 100_000,
     ):
         self.spark = spark
         self.web = web
         self.policy = policy
+        # Per-URL config via the nginx-style mux (operators/mux.UrlMux —
+        # mux/mux.go:173-238,280-322): when present, pattern lookups
+        # drive link admission (Accept: default-deny filter + the
+        # parent's nofollow / follow-depth), ticket scores (Sched and
+        # Resched both take the mux score), and per-URL revisit budget
+        # (freq overrides host_policy/policy max_visits). Exactness
+        # caveat (same as score_expr policies): the default batched
+        # 'exact' mode reproduces the serial order when a link's mux
+        # score never exceeds its parent's; use mode="serial" for
+        # arbitrary preemptive score patterns. Host intervals keep
+        # flowing through host_policy (mux.interval_ms can build it).
+        self.mux = mux
         if policy.ticket_at == "zero":
             # preemptive tickets: batched bounded-preemption when the
             # policy's score guarantee holds, else one-pop-per-step
@@ -237,16 +277,28 @@ class CrawlEngine:
         # anchors, and Allow overrides — instead of the literal-prefix
         # gate. host_policy is broadcast-sized by design, so the one-time
         # driver collect here is scalar-scale metadata, not row data.
+        # Auto-switch by host count (threshold below): the broadcast UDF
+        # collects every host's rules to the driver once — right while
+        # the robots cache is broadcast-sized — but past the threshold
+        # the rules stay a TABLE and the gate becomes robots_gate_join
+        # (per-row rules through a hash join; executor memory flat).
         self._robots_gate = None
+        self._robots_rules_df = None
+        self.robots_broadcast_max_hosts = robots_broadcast_max_hosts
         if policy.obey_robots and "robots_rules" in self.host_policy.columns:
-            from crawler_spark.functions.robots import robots_gate_udf
+            rules_df = self.host_policy.select("host_key", "robots_rules").where(
+                F.size(F.coalesce("robots_rules", F.array())) > 0
+            )
+            n_rule_hosts = rules_df.count()
+            if n_rule_hosts > self.robots_broadcast_max_hosts:
+                self._robots_rules_df = rules_df
+            elif n_rule_hosts:
+                from crawler_spark.functions.robots import robots_gate_udf
 
-            rules = {
-                r["host_key"]: [(bool(x["allow"]), x["pat"]) for x in r["robots_rules"]]
-                for r in self.host_policy.select("host_key", "robots_rules").collect()
-                if r["robots_rules"]
-            }
-            if rules:
+                rules = {
+                    r["host_key"]: [(bool(x["allow"]), x["pat"]) for x in r["robots_rules"]]
+                    for r in rules_df.collect()
+                }
                 self._robots_gate = robots_gate_udf(spark, rules)
         self.metrics: list[dict] = []
         from concurrent.futures import ThreadPoolExecutor
@@ -331,12 +383,17 @@ class CrawlEngine:
         valid = c.where("valid")
         w_dup = Window.partitionBy("url").orderBy("ord")
         w_seq = Window.orderBy("ord")
+        seed_score = (
+            self.mux.config_udf()(F.col("url"))["score"]
+            if self.mux is not None
+            else F.expr(self.policy.score_expr)
+        )
         seeded = (
             valid.withColumn("rn", F.row_number().over(w_dup))
             .where("rn = 1")
             .withColumn("seq", (F.row_number().over(w_seq) - 1).cast("long"))
             .withColumn("depth", F.lit(0))
-            .withColumn("score", F.expr(self.policy.score_expr).cast("int"))
+            .withColumn("score", seed_score.cast("int"))
         )
         frontier = seeded.select(
             "url",
@@ -658,6 +715,18 @@ class CrawlEngine:
             )
             .otherwise(F.lit("drop")),
         )
+        mux_cols = []
+        if self.mux is not None:
+            # one Arrow batch per step evaluates every mux key for the
+            # popped urls (Resched score/freq + the parent follow gate);
+            # materialized as a single struct column so the UDF runs once
+            f = f.withColumn("_mcfg", self.mux.config_udf()(F.col("url")))
+            mux_cols = [
+                F.col("_mcfg.score").alias("mux_score"),
+                F.col("_mcfg.freq").alias("mux_freq"),
+                F.col("_mcfg.follow_depth").alias("mux_follow_depth"),
+                F.col("_mcfg.nofollow").alias("mux_nofollow"),
+            ]
         return f.select(
             "url", "host_key", "depth", "score", "prio", "seq", "emit_ms",
             "cancelled",
@@ -665,6 +734,7 @@ class CrawlEngine:
             "status", "outcome",
             base_url.alias("base_url"), links_arr.alias("links_arr"),
             *cache_cols,
+            *mux_cols,
         )
 
     def _extract_links(self, fetched: DataFrame, seen: DataFrame):
@@ -672,6 +742,14 @@ class CrawlEngine:
         first-writer dedupe → anti-join seen (handle.go:83-115)."""
         p = self.policy
         ok = fetched.where("outcome = 'ok'")
+        if self.mux is not None:
+            # parent follow gate (mux DoNotFollow / SetMaxDepth applied
+            # to the PAGE, mux.go follow semantics): a nofollow page, or
+            # one at/past its follow-depth, contributes no links
+            ok = ok.where(
+                ~F.col("mux_nofollow")
+                & ((F.col("mux_follow_depth") < 0) | (F.col("depth") < F.col("mux_follow_depth")))
+            )
         lk = ok.select(
             F.col("emit_ms").alias("p_emit"),
             F.col("prio").alias("p_prio"),
@@ -702,6 +780,12 @@ class CrawlEngine:
             if self._robots_gate is not None:
                 # full longest-match evaluation (wildcards / '$' / Allow)
                 good = good.where(self._robots_gate(F.col("host_key"), F.col("path")))
+            elif self._robots_rules_df is not None:
+                # beyond-broadcast host count: join-based gate (see
+                # __init__'s auto-switch; robots.py:robots_gate_join)
+                from crawler_spark.functions.robots import robots_gate_join
+
+                good = robots_gate_join(good, self._robots_rules_df)
             else:
                 hp = self.host_policy.select("host_key", "robots_disallow")
                 good = good.join(F.broadcast(hp), "host_key", "left").where(
@@ -710,6 +794,12 @@ class CrawlEngine:
                         F.lit(False),
                     )
                 ).drop("robots_disallow")
+        if self.mux is not None:
+            # mux Accept: default-DENY pattern filter (mux.go:311-316) +
+            # the per-link Sched score, one Arrow batch for all keys
+            good = good.withColumn("_mcfg", self.mux.config_udf()(F.col("url"))).where(
+                F.col("_mcfg.accept")
+            )
         # first-writer-wins inside the batch: the earliest-emitting parent
         # claims the URL and assigns its depth (handle.go:108-111).
         # min_by aggregate, not a rank window: partial-aggregated map-side
@@ -765,8 +855,11 @@ class CrawlEngine:
             )
         else:
             fresh = good.join(seen.select("url"), "url", "left_anti")
+        link_score = (
+            F.col("_mcfg.score") if self.mux is not None else F.expr(p.score_expr)
+        )
         fresh = (
-            fresh.withColumn("score", F.expr(p.score_expr).cast("int"))
+            fresh.withColumn("score", link_score.cast("int"))
             .withColumn("prio", prio_col(F.col("score")))
             .withColumn(
                 "next_ms",
@@ -783,7 +876,15 @@ class CrawlEngine:
         (schedule.go:246-313). kind=1 orders them after the same parent's
         links (schedule.go:124-140: links are scheduled first)."""
         p = self.policy
-        mv = F.coalesce(F.col("hp_max_visits"), F.lit(p.max_visits))
+        # per-URL mux freq overrides host_policy / policy max_visits
+        # (Resched, mux.go:280-292); the resched ticket takes the mux
+        # score (mux.go:293-296) where the NopController default is 0
+        mv = (
+            F.col("mux_freq")
+            if self.mux is not None
+            else F.coalesce(F.col("hp_max_visits"), F.lit(p.max_visits))
+        )
+        re_score = F.col("mux_score") if self.mux is not None else F.lit(0)
         f = fetched.join(
             F.broadcast(self.host_policy.select("host_key", F.col("max_visits").alias("hp_max_visits"))),
             "host_key",
@@ -800,8 +901,8 @@ class CrawlEngine:
                 "url", "host_key",
                 resched_at.alias("next_ms"),
                 F.col("emit_ms").cast("long").alias("avail_ms"),
-                F.lit(0).alias("score"),
-                prio_col(F.lit(0)).alias("prio"),
+                re_score.cast("int").alias("score"),
+                prio_col(re_score).alias("prio"),
                 "depth",
                 F.lit(0).alias("num_retry"),
                 F.col("emit_ms").alias("p_emit"), F.col("prio").alias("p_prio"), F.col("seq").alias("p_seq"),
@@ -1019,7 +1120,11 @@ class CrawlEngine:
                 fetched.select("seq"), "seq", "left_anti"
             ).unionByName(new_frontier_rows)
 
-            mv = F.coalesce(F.col("hp_max_visits"), F.lit(p.max_visits))
+            mv = (
+                F.col("mux_freq")
+                if self.mux is not None
+                else F.coalesce(F.col("hp_max_visits"), F.lit(p.max_visits))
+            )
             upd = fetched.join(
                 F.broadcast(self.host_policy.select("host_key", F.col("max_visits").alias("hp_max_visits"))),
                 "host_key",

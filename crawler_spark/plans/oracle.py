@@ -105,6 +105,7 @@ def crawl_oracle(
     ticket_at: str = "avail",
     max_pops: int = 1_000_000,
     trap_threshold=None,
+    mux=None,
 ) -> OracleResult:
     """``trap_threshold`` (L8): callable depth→int enabling the serial
     URL-trie trap guard at link admission (urltrie.go:65-193) — one trie
@@ -152,7 +153,7 @@ def crawl_oracle(
             continue
         if c.url in res.seen:
             continue
-        score = policy.score_fn(0)
+        score = mux.score(c.url) if mux is not None else policy.score_fn(0)
         res.seen[c.url] = SeenRow(depth=0, seq=seq_counter)
         if trap_threshold is not None:
             trie_for(c.host_key).add(c.url, enforce=False)  # seeds bypass
@@ -289,6 +290,9 @@ def crawl_oracle(
         )
 
         if outcome == "ok":
+            # parent follow gate (mux DoNotFollow / SetMaxDepth)
+            if mux is not None and not mux.follow(item.url, item.depth):
+                links = []
             # links first (schedule.go:129-136), then resched (:137-140)
             for raw in links:
                 c = resolve(base, raw)
@@ -310,12 +314,15 @@ def crawl_oracle(
                 ):
                     reject("link-robots")
                     continue
+                if mux is not None and not mux.accept(c.url):
+                    reject("link-muxfilter")  # default-deny (mux.go:311-316)
+                    continue
                 if trap_threshold is not None and not trie_for(c.host_key).add(c.url):
                     reject("link-trap")
                     continue
                 if c.url in res.seen:
                     continue
-                score = policy.score_fn(d)
+                score = mux.score(c.url) if mux is not None else policy.score_fn(d)
                 res.seen[c.url] = SeenRow(depth=d, seq=seq_counter)
                 push(c.url, c.host_key, ticket_next(emit), emit, score, d, seq_counter)
                 seq_counter += 1
@@ -325,15 +332,19 @@ def crawl_oracle(
             sr.num_retry = 0
             sr.last_ms = emit
             sr.status = status
-            mv = hp(host).max_visits
-            mv = mv if mv is not None else policy.max_visits
+            if mux is not None:
+                mv = mux.freq(item.url)  # per-URL freq (mux.go:280-292)
+            else:
+                mv = hp(host).max_visits
+                mv = mv if mv is not None else policy.max_visits
+            re_score = mux.score(item.url) if mux is not None else 0
             if sr.num_visit >= mv:
                 sr.done = True
             else:
                 push(
                     item.url, host,
                     max(ticket_next(emit), old_last + policy.min_delay_ms),
-                    emit, 0, item.depth, seq_counter,
+                    emit, re_score, item.depth, seq_counter,
                 )
                 seq_counter += 1
         elif outcome == "retry":

@@ -305,3 +305,29 @@ def test_deferred_emin_loop_exact(spark, tmp_path, fx_small):
         policy=CrawlPolicy(max_retry=2), ticket_at="avail",
     )
     assert_match(got, want)
+
+
+def test_checkpoint_fallback_engine_still_exact(spark, tmp_path, fx_small):
+    """With the private stats-cut JVM seam unavailable (_checkpoint falls
+    back to plain localCheckpoint), the engine must stay CORRECT — only
+    slower to plan. Guards against Spark upgrades moving the seam."""
+    import warnings
+
+    from crawler_spark.plans import crawl as crawl_mod
+
+    crawl_mod._FORCE_CKPT_FALLBACK = True
+    crawl_mod._WARNED_CKPT_FALLBACK = False
+    try:
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            # tiny fixture: the fallback's WHOLE point is that plain
+            # localCheckpoint keeps stats that explode superlinearly in
+            # step count, so keep the crawl to a handful of steps
+            fx = synth_web(n_pages=10, n_hosts=2, seed=5, error_rate=0.0,
+                           intervals=(0,), redirect_rate=0.0)
+            policy = CrawlPolicy(max_depth=3, retry_delay_ms=100)
+            got, want = run_both(spark, tmp_path, fx, policy)
+        assert any("localCheckpoint" in str(w.message) for w in caught)
+        assert_match(got, want)
+    finally:
+        crawl_mod._FORCE_CKPT_FALLBACK = False

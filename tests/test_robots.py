@@ -210,3 +210,40 @@ def test_robots_gate_join_matches_broadcast_gate(spark):
     for h, p in [(r["host_key"], r["path"]) for r in links.collect()]:
         want = allowed(RobotsRules(rules=host_rules.get(h, [])), p)
         assert ((h, p) in got) == want
+
+
+def test_full_gate_engine_join_regime_matches_oracle(spark, tmp_path):
+    """Force the beyond-broadcast regime (robots_broadcast_max_hosts=0):
+    the engine auto-switches to robots_gate_join and must reproduce the
+    same oracle order as the broadcast-UDF gate."""
+    from crawler_spark.config import CrawlPolicy
+    from crawler_spark.plans.crawl import CrawlEngine
+    from crawler_spark.plans.oracle import HostPolicy, crawl_oracle
+    from crawler_spark.sources.fixtures import synth_web
+
+    fx = synth_web(n_pages=30, n_hosts=3, seed=9, robots_rate=0.5, error_rate=0.0)
+    robots_txt = "User-agent: *\nDisallow: /adm*n/\nAllow: /admin/p1$"
+    robots = spark.createDataFrame(
+        [(h["host_key"], robots_txt) for h in fx.host_policy], ["host_key", "robots_txt"]
+    )
+    hp = robots_to_host_policy(robots)
+    policy = CrawlPolicy(max_depth=5, obey_robots=True)
+    eng = CrawlEngine(
+        spark, fx.web_df(spark), host_policy=hp,
+        policy=policy, workdir=str(tmp_path / "w"),
+        robots_broadcast_max_hosts=0,
+    )
+    assert eng._robots_gate is None and eng._robots_rules_df is not None
+    got = eng.run(fx.seeds)
+
+    rules = ((False, "/adm*n/"), (True, "/admin/p1$"))
+    oracle_hp = {
+        h["host_key"]: HostPolicy(interval_ms=0, robots_rules=rules)
+        for h in fx.host_policy
+    }
+    want = crawl_oracle(fx.seeds, fx.oracle_web(), oracle_hp, policy=policy,
+                        ticket_at=policy.ticket_at)
+    g = [(r["emit_ord"], r["url"], r["emit_ms"]) for r in got.emitted.orderBy("emit_ord").collect()]
+    w = [(e["emit_ord"], e["url"], e["emit_ms"]) for e in want.emitted]
+    assert g == w
+    assert set(r["url"] for r in got.seen.collect()) == set(want.seen)

@@ -191,11 +191,16 @@ def _recall_metrics(spark) -> dict:
     bench_emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
     q = list(bench_emb.orderBy("vec_id").first()["embedding"])
     exact = [r["id"] for r in cosine_topk(bench_emb, "vec_id", "embedding", q, 10).collect()]
-    srp = [r["id"] for r in ann_topk_srp(bench_emb, "vec_id", "embedding", q, 10).collect()]
+    srp1 = [r["id"] for r in ann_topk_srp(bench_emb, "vec_id", "embedding", q, 10).collect()]
+    srp8 = [
+        r["id"]
+        for r in ann_topk_srp(bench_emb, "vec_id", "embedding", q, 10, nprobe=8).collect()
+    ]
     ivf = [r["id"] for r in ivf_topk(bench_emb, "vec_id", "embedding", q, 10).collect()]
     return {
         "srp_neardup_recall@0.95": srp_neardup,
-        "ann_srp_recall@10": round(len(set(srp) & set(exact)) / 10, 2),
+        "ann_srp_recall@10": round(len(set(srp1) & set(exact)) / 10, 2),
+        "ann_srp_nprobe8_recall@10": round(len(set(srp8) & set(exact)) / 10, 2),
         "ann_ivf_recall@10": round(len(set(ivf) & set(exact)) / 10, 2),
     }
 

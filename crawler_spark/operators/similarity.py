@@ -58,6 +58,19 @@ def cosine_topk(
     )
 
 
+def _srp_proj(v: Column, i: int, seed: int) -> Column:
+    """Projection of v on hyperplane i (xxhash64 ±1 components)."""
+    return F.aggregate(
+        F.zip_with(
+            v,
+            F.transform(v, lambda _, j: F.xxhash64(F.lit(seed), F.lit(i), j)),
+            lambda x, h: F.when(h.bitwiseAND(F.lit(1)) == 1, x).otherwise(-x),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+
+
 def srp_bucket(v: Column, *, bits: int = 12, seed: int = 42) -> Column:
     """Sign-random-projection LSH bucket id (int) of a unit vector.
 
@@ -66,15 +79,7 @@ def srp_bucket(v: Column, *, bits: int = 12, seed: int = 42) -> Column:
     bucket = Σ (h_i·v > 0) << i."""
     acc = F.lit(0).cast("long")
     for i in range(bits):
-        proj = F.aggregate(
-            F.zip_with(
-                v,
-                F.transform(v, lambda _, j: F.xxhash64(F.lit(seed), F.lit(i), j)),
-                lambda x, h: F.when(h.bitwiseAND(F.lit(1)) == 1, x).otherwise(-x),
-            ),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
+        proj = _srp_proj(v, i, seed)
         acc = acc + F.when(proj > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
     return acc
 
@@ -85,6 +90,15 @@ def srp_bucket_md5(v: Column, *, bits: int = 8, seed: int = 42) -> Column:
     lets the driver oracle recompute the buckets independently. Sign of
     component j of hyperplane i = parity of the last hex digit of
     md5('<seed>_<i>_<j>'). Production keeps ``srp_bucket`` (xxhash64)."""
+    acc = F.lit(0).cast("long")
+    for i in range(bits):
+        proj = _srp_proj_md5(v, i, seed)
+        acc = acc + F.when(proj > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return acc
+
+
+def _srp_proj_md5(v: Column, i: int, seed: int) -> Column:
+    """Projection of v on md5-parity hyperplane i (srp_bucket_md5)."""
     def _sign_lambda(prefix):
         def f(_, j):
             return F.when(
@@ -96,14 +110,10 @@ def srp_bucket_md5(v: Column, *, bits: int = 8, seed: int = 42) -> Column:
             ).otherwise(F.lit(-1.0))
         return f
 
-    acc = F.lit(0).cast("long")
-    for i in range(bits):
-        signs = F.transform(v, _sign_lambda(f"{seed}_{i}_"))
-        proj = F.aggregate(
-            F.zip_with(v, signs, lambda x, s: x * s), F.lit(0.0), lambda a, x: a + x
-        )
-        acc = acc + F.when(proj > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-    return acc
+    signs = F.transform(v, _sign_lambda(f"{seed}_{i}_"))
+    return F.aggregate(
+        F.zip_with(v, signs, lambda x, s: x * s), F.lit(0.0), lambda a, x: a + x
+    )
 
 
 def _sq_dist(v: Column, cent: list[float]) -> Column:
@@ -259,12 +269,19 @@ def ann_topk_srp(
     bits: int = 8,
     seed: int = 42,
     bucket_hash: str = "xxhash64",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: score only rows in the query's SRP bucket.
+    """Approximate top-k: score only rows in the query's SRP bucket(s).
 
-    With the corpus written partitioned by bucket, the scan prunes to one
-    partition; recall is traded via ``bits`` (fewer bits → bigger buckets
-    → higher recall, more work). Returns (id, score).
+    With the corpus written partitioned by bucket, the scan prunes to the
+    probed partitions; recall is traded via ``bits`` (fewer bits → bigger
+    buckets → higher recall, more work) and ``nprobe`` (multi-probe LSH:
+    also search the buckets reached by flipping the query's LEAST
+    CONFIDENT hyperplane bits — the ones with the smallest |projection|,
+    where a true neighbour most plausibly landed on the other side).
+    The probe list costs one scalar Spark job for the query's per-bit
+    projections; candidates stay a partition-prunable bucket IN-list.
+    Returns (id, score).
 
     ``bucket_hash="md5"`` buckets on the raw double vector with
     md5-parity hyperplanes (srp_bucket_md5) — sign-equivalent blocking
@@ -288,11 +305,38 @@ def ann_topk_srp(
     qn = [float(x) / n for x in query_vec]
     q = F.array(*[F.lit(x) for x in qn])
     if bucket_hash == "md5":
-        qraw = F.array(*[F.lit(float(x)) for x in query_vec])
-        qb = srp_bucket_md5(qraw, bits=bits, seed=seed)
+        qv = F.array(*[F.lit(float(x)) for x in query_vec])
+        projf = _srp_proj_md5
     else:
-        qb = srp_bucket(q, bits=bits, seed=seed)
-    qdf = emb.sparkSession.range(1).select(qb.alias("bucket"))
+        qv = q
+        projf = _srp_proj
+    if nprobe <= 1:
+        qb = (
+            srp_bucket_md5(qv, bits=bits, seed=seed)
+            if bucket_hash == "md5"
+            else srp_bucket(qv, bits=bits, seed=seed)
+        )
+        qdf = emb.sparkSession.range(1).select(qb.alias("bucket"))
+    else:
+        from itertools import combinations
+
+        pr = emb.sparkSession.range(1).select(
+            *[projf(qv, i, seed).alias(f"p{i}") for i in range(bits)]
+        ).first()
+        projs = [float(pr[f"p{i}"]) for i in range(bits)]
+        base = sum(1 << i for i in range(bits) if projs[i] > 0)
+        # enumerate flip-sets over the m least-confident bits, ranked by
+        # total |projection| flipped (the canonical multi-probe order)
+        order = sorted(range(bits), key=lambda i: abs(projs[i]))
+        m = min(bits, max(4, (max(nprobe - 1, 1)).bit_length() + 2))
+        cand = order[:m]
+        scored = sorted(
+            (sum(abs(projs[i]) for i in s), s)
+            for r in range(0, len(cand) + 1)
+            for s in combinations(cand, r)
+        )[:nprobe]
+        probes = [(base ^ sum(1 << i for i in s),) for _, s in scored]
+        qdf = emb.sparkSession.createDataFrame(probes, "bucket long")
     return (
         e.join(F.broadcast(qdf), "bucket")
         .select("id", dot(F.col("v"), q).alias("score"))

@@ -428,6 +428,81 @@ def q_urltrie_census(spark, sf_dir):
     ).select("host", "depth", "prefix", "n_children")
 
 
+def q_mux_config(spark, sf_dir):
+    """L6 — nginx-style per-URL config lookup (mux/mux.go:39-118,173-238):
+    exact > most-precise wildcard (terminal when registered ``^~``) >
+    first regex > wildcard fallback, evaluated columnar for every config
+    key at once (operators/mux.config_for_urls). The fixed pattern set
+    below exercises all four search steps; the oracle compiles the same
+    precedence into per-key CASE expressions (valid because the skip
+    wildcard is more precise than every overlapping non-skip one)."""
+    from crawler_spark.operators.mux import UrlMux
+
+    mux = UrlMux()
+    mux.allow("http://mux.test/*")
+    mux.disallow("~ \\.php$")
+    mux.disallow("= http://mux.test/about")
+    mux.set_score("= http://mux.test/home", 900)
+    mux.set_score("^~ http://mux.test/static/*", 10)
+    mux.set_score("http://mux.test/blog/*", 300)
+    mux.set_score("http://mux.test/*", 100)
+    mux.set_score("~ \\.php$", 1)
+    mux.set_freq("http://mux.test/blog/*", 3)
+    mux.set_max_depth("http://mux.test/static/*", 2)
+    mux.do_not_follow("~ \\.php$")
+    mux.set_host_interval("http://mux.test/static/*", 500)
+
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id").cast("string")
+    path = (
+        F.when(F.col("event_id") % 7 == 0, F.lit("/home"))
+        .when(F.col("event_id") % 7 == 1, F.concat(F.lit("/static/img"), eid))
+        .when(F.col("event_id") % 7 == 2, F.concat(F.lit("/blog/post"), eid))
+        .when(F.col("event_id") % 7 == 3, F.concat(F.lit("/app/page"), eid, F.lit(".php")))
+        .when(F.col("event_id") % 7 == 4, F.lit("/about"))
+        .when(F.col("event_id") % 7 == 5, F.concat(F.lit("/blog/post"), eid, F.lit(".php")))
+        .otherwise(F.concat(F.lit("/static/x"), eid, F.lit(".php")))
+    )
+    urls = ev.select("event_id", F.concat(F.lit("http://mux.test"), path).alias("url"))
+    return mux.config_for_urls(urls, "url").select(
+        "event_id", "url", "accept", "score", "freq",
+        "follow_depth", "nofollow", "interval_ms",
+    )
+
+
+MUX_CONFIG_SQL = r"""
+WITH u AS (
+  SELECT event_id,
+    'http://mux.test' || CASE event_id % 7
+      WHEN 0 THEN '/home'
+      WHEN 1 THEN '/static/img' || event_id
+      WHEN 2 THEN '/blog/post' || event_id
+      WHEN 3 THEN '/app/page' || event_id || '.php'
+      WHEN 4 THEN '/about'
+      WHEN 5 THEN '/blog/post' || event_id || '.php'
+      ELSE '/static/x' || event_id || '.php'
+    END AS url
+  FROM events
+)
+SELECT event_id, url,
+  CASE WHEN url = 'http://mux.test/about' THEN FALSE
+       WHEN regexp_matches(url, '\.php$') THEN FALSE
+       WHEN url LIKE 'http://mux.test/%' THEN TRUE
+       ELSE FALSE END AS accept,
+  CAST(CASE WHEN url = 'http://mux.test/home' THEN 900
+       WHEN url LIKE 'http://mux.test/static/%' THEN 10
+       WHEN regexp_matches(url, '\.php$') THEN 1
+       WHEN url LIKE 'http://mux.test/blog/%' THEN 300
+       WHEN url LIKE 'http://mux.test/%' THEN 100
+       ELSE 0 END AS INTEGER) AS score,
+  CAST(CASE WHEN url LIKE 'http://mux.test/blog/%' THEN 3 ELSE 1 END AS INTEGER) AS freq,
+  CAST(CASE WHEN url LIKE 'http://mux.test/static/%' THEN 2 ELSE -1 END AS INTEGER) AS follow_depth,
+  regexp_matches(url, '\.php$') AS nofollow,
+  CAST(CASE WHEN url LIKE 'http://mux.test/static/%' THEN 500 ELSE 0 END AS BIGINT) AS interval_ms
+FROM u
+"""
+
+
 def q_cache_route(spark, sf_dir):
     """S5 — RFC freshness routing (hit/revalidate/miss) over a cache
     table synthesized from orders."""
@@ -934,6 +1009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_payload_stats": q_mm_payload_stats,
         "payload_fmt_rollup": q_payload_fmt_rollup,
         "urltrie_census": q_urltrie_census,
+        "mux_config": q_mux_config,
         "cache_route": q_cache_route,
         "cache_merge": q_cache_merge,
         "cache_evict": q_cache_evict,
@@ -1440,6 +1516,7 @@ def oracle_sql() -> dict[str, str]:
             "count(DISTINCT eid) AS n_children FROM u GROUP BY host, event_type "
             "HAVING count(DISTINCT eid) >= 5"
         ),
+        "mux_config": MUX_CONFIG_SQL,
         "cache_merge": _CACHE_MERGE_SQL,
         "cache_evict": _CACHE_EVICT_SQL,
         "host_budget_cancel": _HOST_BUDGET_SQL,

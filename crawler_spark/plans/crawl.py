@@ -336,6 +336,7 @@ class CrawlEngine:
         self._bloom_cover_seq = 0
         self._bloom_recent_rows = 0
         self._bloom_steps_since_rebuild = 0
+        self.n_bloom_rebuilds = 0
         self.bloom_rebuild_rows = bloom_rebuild_rows
         self.bloom_rebuild_steps = bloom_rebuild_steps
         # seq assignment: "window" = single global sort window (fine for
@@ -345,6 +346,7 @@ class CrawlEngine:
         self.seq_assign = seq_assign
         self.seq_offset_threshold = seq_offset_threshold
         self._last_n_items = 0
+        self._last_seq_mode = None
         # L8 trap guard state (trap_check_every > 1 keeps a stale list)
         self._traps = None
         self._trap_steps_since_refresh = 0
@@ -554,6 +556,7 @@ class CrawlEngine:
         self._bloom_cover_seq = cover_seq
         self._bloom_recent_rows = 0
         self._bloom_steps_since_rebuild = 0
+        self.n_bloom_rebuilds += 1
 
     def _bloom_after_step(self, seen: DataFrame, seq_base: int, n_new: int) -> None:
         """Advance the recent-slice bookkeeping; rebuild on cadence."""
@@ -946,6 +949,7 @@ class CrawlEngine:
         mode = self.seq_assign
         if mode == "auto":
             mode = "offset" if self._last_n_items >= self.seq_offset_threshold else "window"
+        self._last_seq_mode = mode
         if mode == "offset":
             return self._assign_seq_offset(items, seq_base)
         w = Window.orderBy(*self._SEQ_ORDER)
@@ -1268,7 +1272,8 @@ class CrawlEngine:
 
             self.metrics.append(
                 dict(step=step, e_min=sel.e_min, selected=n_sel, new_items=n_items,
-                     hosts=sel.n_hosts, **counts, **link_stats)
+                     hosts=sel.n_hosts, seq_mode=self._last_seq_mode,
+                     **counts, **link_stats)
             )
             if self.snapshot_every and step % self.snapshot_every == 0:
                 # flush first: a snapshot must only become visible with

@@ -235,6 +235,9 @@ class CrawlEngine:
         emit_every: int = 4,
         deferred_emin: str = "auto",
         robots_broadcast_max_hosts: int = 100_000,
+        state_maintenance: str = "rewrite",
+        compact_rows: int = 500_000,
+        compact_steps: int = 8,
     ):
         self.spark = spark
         self.web = web
@@ -304,8 +307,9 @@ class CrawlEngine:
         from concurrent.futures import ThreadPoolExecutor
 
         # concurrent job submission for the independent per-step actions
-        # (metrics probe + up to 4 state checkpoints when the cache is on)
-        self._pool = ThreadPoolExecutor(max_workers=5)
+        # (metrics probe + up to 5 state checkpoints with cache on + LSM
+        # consumed-frame)
+        self._pool = ThreadPoolExecutor(max_workers=6)
         # M5: sharded bloom prefilter in front of the exact seen anti-join
         # (never rejects alone — storage/boltstore's bloom-only Exist can
         # drop URLs; the north rule demands the exact set)
@@ -347,6 +351,30 @@ class CrawlEngine:
         self.seq_offset_threshold = seq_offset_threshold
         self._last_n_items = 0
         self._last_seq_mode = None
+        # State maintenance strategy. "rewrite" re-materializes the full
+        # frontier/seen every step (simple; per-step cost O(|state|)).
+        # "lsm" is the 10^10-URL path: frontier/seen live as an immutable
+        # checkpointed BASE plus small per-step frames —
+        #   frontier = (base ∪ add-frames) ⟕̸ broadcast(consumed seqs)
+        #   seen     = base + one merged upsert DELTA (latest row wins)
+        # so each step writes O(step delta) instead of O(|state|); the
+        # full-state rewrite amortizes to the compaction cadence below,
+        # which also re-covers the bloom/cuckoo shards (the seen delta IS
+        # the filter's recent slice — one unified LSM).
+        if state_maintenance not in ("rewrite", "lsm"):
+            raise ValueError(f"state_maintenance: {state_maintenance!r}")
+        self.state_maintenance = state_maintenance
+        self.compact_rows = compact_rows
+        self.compact_steps = compact_steps
+        self._f_base = None
+        self._f_adds: list = []
+        self._f_cons: list = []
+        self._s_base = None
+        self._s_delta = None
+        self._lsm_delta_rows = 0
+        self._lsm_cons_rows = 0
+        self._lsm_steps = 0
+        self.n_compactions = 0
         # L8 trap guard state (trap_check_every > 1 keeps a stale list)
         self._traps = None
         self._trap_steps_since_refresh = 0
@@ -491,10 +519,7 @@ class CrawlEngine:
         # consume EXACTLY the files the drained read listed (parts
         # appended since the listing drain next tick); fresh/frontier
         # are already materialized via _checkpoint at this point
-        consumed = os.path.join(self.workdir, "enqueue_consumed", f"step={step}")
-        os.makedirs(consumed, exist_ok=True)
-        for path in drained_files:
-            os.rename(path, os.path.join(consumed, os.path.basename(path)))
+        self._consume_enqueue_files(drained_files, step)
         return frontier, seen, seq_base + n
 
     def _replay_consumed_after(self, snapshot_step: int) -> int:
@@ -570,6 +595,122 @@ class CrawlEngine:
         ):
             self._bloom_rebuild(seen, seq_base)
 
+    # ---------------- LSM state maintenance (state_maintenance="lsm") #
+    def _frontier_view(self) -> DataFrame:
+        """Pending frontier = (base ∪ add-frames) minus consumed seqs.
+        The consumed side is per-step frames of ONE long column, bounded
+        by the compaction cadence — broadcast it so the anti-join never
+        shuffles the base (selection scans the view twice per step; a
+        broadcast filter keeps both scans shuffle-free)."""
+        v = self._f_base
+        for fr in self._f_adds:
+            v = v.unionByName(fr)
+        if self._f_cons:
+            cons = self._f_cons[0]
+            for c in self._f_cons[1:]:
+                cons = cons.unionAll(c)
+            v = v.join(F.broadcast(cons), "seq", "left_anti")
+        return v
+
+    def _seen_view(self) -> DataFrame:
+        """Membership/census view: base ∪ delta WITHOUT latest-row
+        resolution. A url updated since the last compaction appears
+        twice (stale base row + delta row) — sound for every reader of
+        this view (anti-join membership, distinct-prefix census, seq>=
+        cover recent-slice), all of which are duplicate-insensitive.
+        Latest-VALUE lookups go through the precedence join in _fetch."""
+        return self._s_base.unionByName(self._s_delta)
+
+    def _empty_seen(self) -> DataFrame:
+        return self.spark.createDataFrame([], SEEN_SCHEMA)
+
+    def _lsm_compact(self, seq_base: int, rebuild_filter: bool = True) -> None:
+        """Fold the frames into fresh bases (the amortized full rewrite)
+        and re-cover the bloom/cuckoo shards from the compacted seen —
+        after which the recent slice (seq >= cover) is empty again. The
+        two folds are independent Spark jobs, submitted concurrently."""
+        if not (self._f_adds or self._f_cons or self._lsm_delta_rows):
+            return  # nothing staged — the bases ARE the state
+        f_fut = self._pool.submit(_checkpoint, self._frontier_view())
+        s_fut = self._pool.submit(
+            _checkpoint,
+            self._s_base.join(self._s_delta.select("url"), "url", "left_anti")
+            .unionByName(self._s_delta),
+        )
+        new_f, new_s = f_fut.result(), s_fut.result()
+        for old in (self._f_base, self._s_base, self._s_delta, *self._f_adds, *self._f_cons):
+            _release_checkpoint(old)
+        self._f_base, self._f_adds, self._f_cons = new_f, [], []
+        self._s_base, self._s_delta = new_s, self._empty_seen()
+        self._lsm_delta_rows = self._lsm_cons_rows = self._lsm_steps = 0
+        self.n_compactions += 1
+        if rebuild_filter and self.bloom is not None:
+            self._bloom_rebuild(new_s, seq_base)
+
+    def _lsm_after_step(self, n_sel: int, n_items: int, seq_base: int) -> None:
+        """Advance frame bookkeeping; compact when any frame family
+        crosses the cadence (consumed is also the broadcast-size bound)."""
+        self._lsm_steps += 1
+        self._lsm_delta_rows += n_sel + n_items
+        self._lsm_cons_rows += n_sel
+        if (
+            self._lsm_steps >= self.compact_steps
+            or self._lsm_delta_rows >= self.compact_rows
+            or self._lsm_cons_rows >= self.compact_rows
+        ):
+            self._lsm_compact(seq_base)
+
+    def _consume_enqueue_files(self, drained_files, step: int) -> None:
+        consumed = os.path.join(self.workdir, "enqueue_consumed", f"step={step}")
+        os.makedirs(consumed, exist_ok=True)
+        for path in drained_files:
+            os.rename(path, os.path.join(consumed, os.path.basename(path)))
+
+    def _merge_enqueued_lsm(self, seq_base: int, step: int) -> int:
+        """S2 merge under LSM state: enqueued tickets append a frontier
+        add-frame and fold into the seen delta (urls are anti-joined
+        against the full view first, so delta stays upsert-unique).
+        Same exactly-once file protocol as _merge_enqueued."""
+        from crawler_spark.streaming.enqueue import drain_enqueued
+
+        drained, drained_files = drain_enqueued(self.spark, self.enqueue_dir)
+        if drained is None:
+            return seq_base
+        w = Window.partitionBy("url").orderBy("url")
+        fresh = (
+            drained.withColumn("rn", F.row_number().over(w)).where("rn = 1").drop("rn")
+            .join(self._seen_view().select("url"), "url", "left_anti")
+        )
+        wseq = Window.orderBy("url")
+        fresh = _checkpoint(
+            fresh.withColumn(
+                "seq", (F.row_number().over(wseq) - 1 + F.lit(seq_base)).cast("long")
+            )
+        )
+        n = fresh.count()
+        if n:
+            add = _checkpoint(fresh.select(*[f.name for f in FRONTIER_SCHEMA.fields]))
+            new_delta = _checkpoint(
+                self._s_delta.unionByName(
+                    fresh.select(
+                        "url", "host_key", "depth",
+                        F.lit(False).alias("done"),
+                        F.lit(None).cast("long").alias("last_ms"),
+                        F.lit(None).cast("int").alias("status"),
+                        F.lit(0).alias("num_visit"),
+                        F.lit(0).alias("num_retry"),
+                        "seq",
+                    )
+                )
+            )
+            self._f_adds.append(add)
+            _release_checkpoint(self._s_delta)
+            self._s_delta = new_delta
+            self._lsm_delta_rows += n
+        _release_checkpoint(fresh)
+        self._consume_enqueue_files(drained_files, step)
+        return seq_base + n
+
     def _web_cols(self, with_cache: bool = False):
         web = self.web
         if with_cache:
@@ -618,6 +759,7 @@ class CrawlEngine:
     def _fetch(
         self, selected: DataFrame, seen: DataFrame,
         fetch_cache: Optional[DataFrame] = None,
+        seen_delta: Optional[DataFrame] = None,
     ) -> DataFrame:
         """Test-semantics fetch: join the web fixture (deterministic stand-in
         for Client.Do, client.go:83-153), one redirect hop resolved
@@ -635,14 +777,39 @@ class CrawlEngine:
         p = self.policy
         use_cache = fetch_cache is not None
         src, tgt = self._web_cols(with_cache=use_cache)
-        seenj = seen.select(
-            "url",
-            F.col("last_ms").alias("old_last_ms"),
-            F.col("num_visit").alias("old_num_visit"),
-            F.col("num_retry").alias("old_num_retry"),
-            F.col("seq").alias("seen_seq"),
-        )
-        f = selected.join(seenj, "url", "left")
+        _lookup = ("last_ms", "num_visit", "num_retry", "seq")
+        _out = ("old_last_ms", "old_num_visit", "old_num_retry", "seen_seq")
+        if seen_delta is None:
+            seenj = seen.select(
+                "url", *[F.col(c).alias(o) for c, o in zip(_lookup, _out)]
+            )
+            f = selected.join(seenj, "url", "left")
+        else:
+            # LSM latest-value lookup: ROW precedence (delta row wins
+            # over the stale base row for the same url — per-column
+            # coalesce would be wrong: delta rows carry legitimate
+            # NULLs, e.g. last_ms of a never-visited insert). `seen`
+            # here is the BASE; both probes key the small selected
+            # batch, so neither side rewrites state.
+            d = seen_delta.select(
+                "url",
+                *[F.col(c).alias(f"_d_{c}") for c in _lookup],
+                F.lit(True).alias("_d_has"),
+            )
+            b = seen.select(
+                "url", *[F.col(c).alias(f"_b_{c}") for c in _lookup]
+            )
+            f = selected.join(d, "url", "left").join(b, "url", "left")
+            for c, o in zip(_lookup, _out):
+                f = f.withColumn(
+                    o,
+                    F.when(F.col("_d_has"), F.col(f"_d_{c}")).otherwise(
+                        F.col(f"_b_{c}")
+                    ),
+                )
+            f = f.drop(
+                "_d_has", *[f"_d_{c}" for c in _lookup], *[f"_b_{c}" for c in _lookup]
+            )
         if use_cache:
             cj = fetch_cache.select(
                 "url", *[F.col(c).alias(f"c_{c}") for c in _CACHE_JOIN_COLS]
@@ -1056,13 +1223,26 @@ class CrawlEngine:
     ) -> CrawlResult:
         p = self.policy
         step, pops = step0, pops0
+        lsm = self.state_maintenance == "lsm"
+        if lsm:
+            # incoming frames become the immutable bases; per-step writes
+            # from here on are O(step delta) frames (see __init__ notes)
+            self._f_base, self._f_adds, self._f_cons = frontier, [], []
+            self._s_base, self._s_delta = seen, self._empty_seen()
+            self._lsm_delta_rows = self._lsm_cons_rows = self._lsm_steps = 0
         while step < self.max_steps:
             if self.max_pops is not None and pops >= self.max_pops:
                 break
             if self.enqueue_dir:
-                frontier, seen, seq_base = self._merge_enqueued(
-                    frontier, seen, seq_base, step
-                )
+                if lsm:
+                    seq_base = self._merge_enqueued_lsm(seq_base, step)
+                else:
+                    frontier, seen, seq_base = self._merge_enqueued(
+                        frontier, seen, seq_base, step
+                    )
+            if lsm:
+                # cheap plans over checkpointed frames, rebuilt per step
+                frontier, seen = self._frontier_view(), self._seen_view()
             # deferred e_min folds the scalar into the plan (no driver
             # round-trip) — see deferred_emin in __init__ for when.
             deferred = self.deferred_emin
@@ -1079,7 +1259,14 @@ class CrawlEngine:
             # the selection plan materializes once, inside fetched — no
             # separate checkpoint/count jobs for the selected batch
             selected_plan = self._tag_cancelled(sel.selected, host_state)
-            fetched = _checkpoint(self._fetch(selected_plan, seen, fetch_cache))
+            fetched = _checkpoint(
+                self._fetch(
+                    selected_plan,
+                    self._s_base if lsm else seen,
+                    fetch_cache,
+                    seen_delta=self._s_delta if lsm else None,
+                )
+            )
             sel.release()
             step += 1
 
@@ -1120,9 +1307,14 @@ class CrawlEngine:
             new_frontier_rows = items.select(
                 "url", "host_key", "next_ms", "avail_ms", "score", "prio", "seq", "depth", "num_retry"
             )
-            new_frontier_plan = frontier.join(
-                fetched.select("seq"), "seq", "left_anti"
-            ).unionByName(new_frontier_rows)
+            if lsm:
+                # frontier writes = this step's add-frame; the popped
+                # seqs become a consumed-frame (anti-joined at read time)
+                new_frontier_plan = new_frontier_rows
+            else:
+                new_frontier_plan = frontier.join(
+                    fetched.select("seq"), "seq", "left_anti"
+                ).unionByName(new_frontier_rows)
 
             mv = (
                 F.col("mux_freq")
@@ -1164,11 +1356,22 @@ class CrawlEngine:
                 F.lit(0).alias("num_retry"),
                 "seq",
             )
-            new_seen = (
-                seen.join(fetched.select("url"), "url", "left_anti")
-                .unionByName(upd)
-                .unionByName(fresh_seen)
-            )
+            if lsm:
+                # seen writes = the delta upsert-merge: latest row per
+                # url within the delta; stale BASE rows stay (resolved
+                # at read time by _fetch's precedence join / harmless to
+                # the duplicate-insensitive membership readers)
+                delta_ups = upd.unionByName(fresh_seen)
+                new_seen = (
+                    self._s_delta.join(delta_ups.select("url"), "url", "left_anti")
+                    .unionByName(delta_ups)
+                )
+            else:
+                new_seen = (
+                    seen.join(fetched.select("url"), "url", "left_anti")
+                    .unionByName(upd)
+                    .unionByName(fresh_seen)
+                )
 
             host_upd = fetched.groupBy("host_key").agg(
                 F.max("emit_ms").alias("new_last"),
@@ -1192,6 +1395,9 @@ class CrawlEngine:
             f_fut = self._pool.submit(_checkpoint, new_frontier_plan)
             s_fut = self._pool.submit(_checkpoint, new_seen)
             h_fut = self._pool.submit(_checkpoint, new_host_state)
+            cons_fut = (
+                self._pool.submit(_checkpoint, fetched.select("seq")) if lsm else None
+            )
             c_fut2 = None
             if fetch_cache is not None:
                 # S5 cache MERGE (Pool.Set/Update/Remove, cache.go:190-264)
@@ -1241,12 +1447,14 @@ class CrawlEngine:
             new_frontier = f_fut.result()
             new_seen = s_fut.result()
             new_host_state = h_fut.result()
+            new_cons = cons_fut.result() if cons_fut is not None else None
             new_cache = c_fut2.result() if c_fut2 is not None else None
             if n_sel == 0:
                 if deferred and frontier.isEmpty():
                     step -= 1  # empty tail step: frontier drained — IsFinished
                     self._emit_buf.pop()  # nothing was emitted this step
-                    for nf in (fetched, items, new_frontier, new_seen, new_host_state, new_cache):
+                    for nf in (fetched, items, new_frontier, new_seen,
+                               new_host_state, new_cons, new_cache):
                         _release_checkpoint(nf)
                     break
                 raise RuntimeError(f"liveness violation: no pop at e_min={sel.e_min}")
@@ -1255,16 +1463,37 @@ class CrawlEngine:
             self._last_n_items = n_items
 
             # free the previous generation's checkpoint blocks + step
-            # frames (fetched stays alive in the emit buffer until flush)
-            for old in (frontier, seen, host_state, items, fetch_cache):
+            # frames (fetched stays alive in the emit buffer until flush).
+            # In LSM mode the frontier/seen locals are VIEWS over the live
+            # bases (with no frames staged, the view IS the base object) —
+            # never release them; bases free at compaction.
+            rel = (
+                (host_state, items, fetch_cache)
+                if lsm
+                else (frontier, seen, host_state, items, fetch_cache)
+            )
+            for old in rel:
                 _release_checkpoint(old)
             if len(self._emit_buf) >= self.emit_every:
                 self._flush_emitted()
-            frontier, seen, host_state = new_frontier, new_seen, new_host_state
+            if lsm:
+                self._f_adds.append(new_frontier)
+                self._f_cons.append(new_cons)
+                _release_checkpoint(self._s_delta)
+                self._s_delta = new_seen
+                host_state = new_host_state
+            else:
+                frontier, seen, host_state = new_frontier, new_seen, new_host_state
             fetch_cache = new_cache
-            # bloom cadence: fold the recent slice into the shards via a
-            # distributed rebuild when it grows past the broadcast budget
-            self._bloom_after_step(seen, seq_base, n_items)
+            if lsm:
+                # compaction cadence folds frames into fresh bases AND
+                # re-covers the bloom/cuckoo shards (one unified LSM)
+                self._lsm_after_step(n_sel, n_items, seq_base)
+            else:
+                # bloom cadence: fold the recent slice into the shards via
+                # a distributed rebuild when it grows past the broadcast
+                # budget
+                self._bloom_after_step(seen, seq_base, n_items)
             if step % 20 == 0:
                 # nudge ContextCleaner: dead broadcast/shuffle refs are only
                 # collected after a JVM GC (see _release_checkpoint docstring)
@@ -1279,7 +1508,17 @@ class CrawlEngine:
                 # flush first: a snapshot must only become visible with
                 # its emitted-log prefix durable (resume replays forward)
                 self._flush_emitted()
-                frames = {"frontier": frontier, "seen": seen, "host_state": host_state}
+                if lsm:
+                    # snapshots store materialized state: compact so the
+                    # bases ARE the state (and resume starts frame-free)
+                    self._lsm_compact(seq_base)
+                    frames = {
+                        "frontier": self._f_base,
+                        "seen": self._s_base,
+                        "host_state": host_state,
+                    }
+                else:
+                    frames = {"frontier": frontier, "seen": seen, "host_state": host_state}
                 if fetch_cache is not None:
                     frames["fetch_cache"] = fetch_cache
                 self.store.commit(
@@ -1288,6 +1527,11 @@ class CrawlEngine:
                     frames,
                 )
 
+        if lsm:
+            # materialize the final state exactly once (no filter
+            # rebuild — the run is over)
+            self._lsm_compact(seq_base, rebuild_filter=False)
+            seen = self._s_base
         self._flush_emitted()
         emitted_root = os.path.join(self.workdir, "emitted")
         emitted = (

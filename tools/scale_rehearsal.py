@@ -78,6 +78,13 @@ def main() -> None:
     ap.add_argument("--max-pops", type=int, default=6_000_000)
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--smoke", action="store_true", help="200k-URL wiring check")
+    ap.add_argument(
+        "--lsm", action="store_true",
+        help="state_maintenance='lsm' (per-step O(delta) state writes; "
+        "compaction cadence sized for this input)",
+    )
+    ap.add_argument("--compact-rows", type=int, default=20_000_000)
+    ap.add_argument("--compact-steps", type=int, default=8)
     args = ap.parse_args()
     if args.smoke:
         args.urls, args.hosts, args.seeds = 200_000, 2_000, 2_000
@@ -123,6 +130,9 @@ def main() -> None:
         max_pops=args.max_pops,
         metrics_level=0,
         seq_assign="auto",  # must FLIP to offset mid-run — that's the test
+        state_maintenance="lsm" if args.lsm else "rewrite",
+        compact_rows=args.compact_rows,
+        compact_steps=args.compact_steps,
     )
     t0 = time.time()
     res = eng.run(seeds)
@@ -156,6 +166,8 @@ def main() -> None:
         "seq_modes": seq_modes,
         "offset_engaged": "offset" in seq_modes,
         "bloom_rebuilds": eng.n_bloom_rebuilds,
+        "state_maintenance": eng.state_maintenance,
+        "compactions": eng.n_compactions,
         "cpus": args.cpus,
     }
     print(json.dumps(out))

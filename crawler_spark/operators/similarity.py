@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -82,6 +83,63 @@ def srp_bucket(v: Column, *, bits: int = 12, seed: int = 42) -> Column:
         proj = _srp_proj(v, i, seed)
         acc = acc + F.when(proj > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
     return acc
+
+
+def srp_plane_signs(spark, dim: int, bits: int, seed: int):
+    """±1 hyperplane components IDENTICAL to ``_srp_proj``'s xxhash64
+    signs, as a (bits × dim) numpy matrix. One scalar-scale Spark job
+    (bits·dim rows — metadata, not data): the grid recomputes
+    xxhash64(seed, i, j) with the same int types the column expression
+    hashes, so buckets from the vectorized path below equal
+    ``srp_bucket``'s bit for bit (asserted in tests)."""
+    import numpy as np
+
+    rows = (
+        spark.range(bits * dim)
+        .select(
+            (F.col("id") / dim).cast("int").alias("i"),
+            (F.col("id") % dim).cast("int").alias("j"),
+        )
+        .select(
+            "i", "j",
+            (F.xxhash64(F.lit(seed), F.col("i"), F.col("j")).bitwiseAND(F.lit(1)) == 1)
+            .alias("pos"),
+        )
+        .collect()
+    )
+    P = np.empty((bits, dim), dtype=np.float64)
+    for r in rows:
+        P[r["i"], r["j"]] = 1.0 if r["pos"] else -1.0
+    return P
+
+
+def srp_buckets_fast_udf(planes, bits: int):
+    """Vectorized SRP bucketing: ONE Arrow batch matmul computes every
+    table's bucket for every row — the 100-TB path. The column-expression
+    form (``srp_bucket``) expands to O(tables·bits·dim) Catalyst nodes
+    per row; measured on a 2k-row corpus the 4-table expression plan
+    costs ~50s of analysis/codegen alone, while this UDF is
+    data-bound. ``planes`` is the vstack of ``srp_plane_signs`` matrices
+    (tables·bits × dim); returns array<long>, one bucket per table.
+    Sign rule (proj > 0 → bit set) matches srp_bucket; normalization is
+    irrelevant to the sign, so raw vectors give the same buckets the
+    unit-norm expression path computes."""
+    import numpy as np
+
+    weights = (1 << np.arange(bits, dtype=np.int64))
+
+    @F.pandas_udf("array<long>")
+    def _buckets(vs: pd.Series) -> pd.Series:
+        M = np.array(vs.tolist(), dtype=np.float64)  # (n, dim)
+        proj = M @ planes.T  # (n, tables*bits)
+        pos = proj > 0
+        n_tables = planes.shape[0] // bits
+        out = np.empty((len(vs), n_tables), dtype=np.int64)
+        for t in range(n_tables):
+            out[:, t] = pos[:, t * bits:(t + 1) * bits] @ weights
+        return pd.Series(list(out))
+
+    return _buckets
 
 
 def srp_bucket_md5(v: Column, *, bits: int = 8, seed: int = 42) -> Column:
@@ -270,75 +328,121 @@ def ann_topk_srp(
     seed: int = 42,
     bucket_hash: str = "xxhash64",
     nprobe: int = 1,
+    ntables: int = 1,
 ) -> DataFrame:
     """Approximate top-k: score only rows in the query's SRP bucket(s).
 
     With the corpus written partitioned by bucket, the scan prunes to the
-    probed partitions; recall is traded via ``bits`` (fewer bits → bigger
-    buckets → higher recall, more work) and ``nprobe`` (multi-probe LSH:
-    also search the buckets reached by flipping the query's LEAST
-    CONFIDENT hyperplane bits — the ones with the smallest |projection|,
-    where a true neighbour most plausibly landed on the other side).
-    The probe list costs one scalar Spark job for the query's per-bit
-    projections; candidates stay a partition-prunable bucket IN-list.
-    Returns (id, score).
+    probed partitions (the probe set is a literal IN-list per table —
+    partition-prunable at file-listing level). Recall is traded via three
+    orthogonal knobs:
+
+    * ``bits`` — fewer bits → bigger buckets → higher recall, more work;
+    * ``nprobe`` — multi-probe LSH: also search the buckets reached by
+      flipping the query's LEAST CONFIDENT hyperplane bits (smallest
+      |projection| — where a true neighbour most plausibly landed on the
+      other side), ranked by total flipped |projection|;
+    * ``ntables`` — OR-construction over independent hyperplane tables
+      (plane set t uses seed + 7919·t): a neighbour is a candidate if it
+      collides in ANY table. Per-table collision at cosine s is
+      p = (1 - arccos(s)/π)^bits; across L tables 1-(1-p)^L — the knob
+      that rescues recall when per-table p is small. The near-dup
+      operator (embedding_near_dups) uses the same construction.
+
+    All query-side projections (ntables × bits) cost ONE scalar Spark
+    job. Returns (id, score).
 
     ``bucket_hash="md5"`` buckets on the raw double vector with
     md5-parity hyperplanes (srp_bucket_md5) — sign-equivalent blocking
     (SRP signs are scale-invariant) that a SQL oracle can recompute."""
-    un = unit_norm(F.col(vec_col))
-    if bucket_hash == "md5":
-        vraw = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-        bucket_col = srp_bucket_md5(vraw, bits=bits, seed=seed)
-    else:
-        bucket_col = None
-    e = emb.select(
-        F.col(id_col).alias("id"),
-        un.alias("v"),
-        *( [bucket_col.alias("bucket")] if bucket_col is not None else [] ),
-    )
-    if bucket_col is None:
-        e = e.withColumn("bucket", srp_bucket(F.col("v"), bits=bits, seed=seed))
+    from itertools import combinations
+
     import math
 
+    import numpy as np
+
+    seeds = [seed + 7919 * t for t in range(max(1, ntables))]
+    un = unit_norm(F.col(vec_col))
+    vraw = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     n = math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1.0
     qn = [float(x) / n for x in query_vec]
     q = F.array(*[F.lit(x) for x in qn])
     if bucket_hash == "md5":
-        qv = F.array(*[F.lit(float(x)) for x in query_vec])
-        projf = _srp_proj_md5
-    else:
-        qv = q
-        projf = _srp_proj
-    if nprobe <= 1:
-        qb = (
-            srp_bucket_md5(qv, bits=bits, seed=seed)
-            if bucket_hash == "md5"
-            else srp_bucket(qv, bits=bits, seed=seed)
+        # oracle-recomputable face: column-expression buckets + a scalar
+        # Spark job for the query projections (kept expression-form so
+        # the DuckDB oracle mirrors the exact plan semantics)
+        e = emb.select(
+            F.col(id_col).alias("id"),
+            un.alias("v"),
+            *[
+                srp_bucket_md5(vraw, bits=bits, seed=sd)
+                .alias(f"bucket{t}" if t else "bucket")
+                for t, sd in enumerate(seeds)
+            ],
         )
-        qdf = emb.sparkSession.range(1).select(qb.alias("bucket"))
+        qv = F.array(*[F.lit(float(x)) for x in query_vec])
+        pr = (
+            emb.sparkSession.range(1)
+            .select(
+                *[
+                    _srp_proj_md5(qv, i, sd).alias(f"p{t}_{i}")
+                    for t, sd in enumerate(seeds)
+                    for i in range(bits)
+                ]
+            )
+            .first()
+        )
+        all_projs = {
+            t: [float(pr[f"p{t}_{i}"]) for i in range(bits)] for t in range(len(seeds))
+        }
     else:
-        from itertools import combinations
-
-        pr = emb.sparkSession.range(1).select(
-            *[projf(qv, i, seed).alias(f"p{i}") for i in range(bits)]
-        ).first()
-        projs = [float(pr[f"p{i}"]) for i in range(bits)]
+        # production face: one Arrow-batched matmul buckets every table
+        # at once (see srp_buckets_fast_udf — the expression form costs
+        # O(tables·bits·dim) Catalyst nodes); query projections come
+        # from the same plane matrices driver-side
+        planes = np.vstack(
+            [srp_plane_signs(emb.sparkSession, len(query_vec), bits, sd) for sd in seeds]
+        )
+        budf = srp_buckets_fast_udf(planes, bits)
+        e = emb.select(
+            F.col(id_col).alias("id"), un.alias("v"), budf(vraw).alias("_bkts")
+        ).select(
+            "id", "v",
+            *[
+                F.element_at("_bkts", t + 1).alias(f"bucket{t}" if t else "bucket")
+                for t in range(len(seeds))
+            ],
+        )
+        qarr = np.array(qn, dtype=np.float64)
+        all_projs = {
+            t: [
+                float(x)
+                for x in planes[t * bits:(t + 1) * bits] @ qarr
+            ]
+            for t in range(len(seeds))
+        }
+    cond = None
+    for t, _sd in enumerate(seeds):
+        projs = all_projs[t]
         base = sum(1 << i for i in range(bits) if projs[i] > 0)
-        # enumerate flip-sets over the m least-confident bits, ranked by
-        # total |projection| flipped (the canonical multi-probe order)
-        order = sorted(range(bits), key=lambda i: abs(projs[i]))
-        m = min(bits, max(4, (max(nprobe - 1, 1)).bit_length() + 2))
-        cand = order[:m]
-        scored = sorted(
-            (sum(abs(projs[i]) for i in s), s)
-            for r in range(0, len(cand) + 1)
-            for s in combinations(cand, r)
-        )[:nprobe]
-        probes = [(base ^ sum(1 << i for i in s),) for _, s in scored]
-        qdf = emb.sparkSession.createDataFrame(probes, "bucket long")
+        if nprobe <= 1:
+            probes = [base]
+        else:
+            # enumerate flip-sets over the m least-confident bits, ranked
+            # by total |projection| flipped (canonical multi-probe order)
+            order = sorted(range(bits), key=lambda i: abs(projs[i]))
+            m = min(bits, max(4, (max(nprobe - 1, 1)).bit_length() + 2))
+            cand = order[:m]
+            scored = sorted(
+                (sum(abs(projs[i]) for i in s), s)
+                for r in range(0, len(cand) + 1)
+                for s in combinations(cand, r)
+            )[:nprobe]
+            probes = [base ^ sum(1 << i for i in s) for _, s in scored]
+        c = F.col(f"bucket{t}" if t else "bucket").isin([int(p) for p in probes])
+        cond = c if cond is None else (cond | c)
     return (
-        e.join(F.broadcast(qdf), "bucket")
+        e.where(cond)
         .select("id", dot(F.col("v"), q).alias("score"))
         .orderBy(F.col("score").desc(), F.col("id").asc())
         .limit(k)

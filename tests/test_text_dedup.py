@@ -306,3 +306,69 @@ def test_srp_multiprobe_improves_recall(spark):
     rec4 = len(set(r4) & set(exact)) / 5
     assert rec4 >= rec1
     assert rec4 >= 0.8, f"multi-probe recall {rec4} too low on planted structure"
+
+
+def test_srp_fast_buckets_match_expression(spark):
+    """The Arrow-matmul bucketing (srp_buckets_fast_udf) reproduces the
+    column-expression srp_bucket bit for bit on a real corpus (the plane
+    signs are recomputed from the identical xxhash64 grid; the sign of a
+    projection is normalization-invariant)."""
+    import numpy as np
+
+    from crawler_spark.operators.similarity import (
+        srp_bucket,
+        srp_buckets_fast_udf,
+        srp_plane_signs,
+        unit_norm,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = [(f"v{i}", [float(x) for x in rng.normal(size=48)]) for i in range(300)]
+    emb = spark.createDataFrame(rows, "id string, embedding array<double>")
+    P = srp_plane_signs(spark, 48, 8, 42)
+    budf = srp_buckets_fast_udf(P, 8)
+    vraw = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    mism = (
+        emb.select(
+            srp_bucket(unit_norm(F.col("embedding")), bits=8, seed=42).alias("a"),
+            F.element_at(budf(vraw), 1).alias("b"),
+        )
+        .where("a <> b")
+        .count()
+    )
+    assert mism == 0
+
+
+def test_srp_multi_table_recall(spark):
+    """OR-construction over independent hyperplane tables rescues recall
+    on a weakly-correlated corpus (the LSH-adversarial case): recall@10
+    must rise with ntables and clear 0.6 by 8 tables of 8 probes, while
+    single-table stays a per-bucket lottery."""
+    import numpy as np
+
+    from crawler_spark.operators.similarity import ann_topk_srp, cosine_topk
+
+    rng = np.random.default_rng(3)
+    rows = [(f"v{i:04d}", [float(x) for x in rng.normal(size=64)]) for i in range(2000)]
+    emb = spark.createDataFrame(rows, "id string, embedding array<double>").cache()
+    recs1, recs8 = [], []
+    for qi in (7, 191, 1203):  # average out per-query bucket luck
+        q = rows[qi][1]
+        exact = [r["id"] for r in cosine_topk(emb, "id", "embedding", q, 10).collect()]
+        r1 = [
+            r["id"]
+            for r in ann_topk_srp(emb, "id", "embedding", q, 10, nprobe=8).collect()
+        ]
+        r8 = [
+            r["id"]
+            for r in ann_topk_srp(
+                emb, "id", "embedding", q, 10, nprobe=8, ntables=8
+            ).collect()
+        ]
+        recs1.append(len(set(r1) & set(exact)) / 10)
+        recs8.append(len(set(r8) & set(exact)) / 10)
+    rec1 = sum(recs1) / len(recs1)
+    rec8 = sum(recs8) / len(recs8)
+    assert rec8 >= rec1
+    assert rec8 >= 0.5, f"8-table OR-construction recall {rec8} too low ({recs8})"
+    emb.unpersist()

@@ -182,6 +182,7 @@ class BloomShards:
         *,
         recent_min_seq: Optional[int] = None,
         seq_col: str = "seq",
+        broadcast_recent: bool = True,
     ) -> DataFrame:
         """Exact anti-join with the bloom prefilter in front.
 
@@ -204,8 +205,14 @@ class BloomShards:
         tagged = links.withColumn("_maybe_seen", mc(F.xxhash64(F.col(url_col))))
         fresh_fast = tagged.where(~F.col("_maybe_seen")).drop("_maybe_seen")
         if recent_min_seq is not None:
+            # the caller knows the slice's row bound (rebuild/compaction
+            # cadence) — broadcast only while it is broadcast-sized, else
+            # let the planner shuffle it (LSM engines with large
+            # compaction windows pass broadcast_recent=False)
             recent = seen.where(F.col(seq_col) >= F.lit(recent_min_seq)).select(url_col)
-            fresh_fast = fresh_fast.join(F.broadcast(recent), url_col, "left_anti")
+            if broadcast_recent:
+                recent = F.broadcast(recent)
+            fresh_fast = fresh_fast.join(recent, url_col, "left_anti")
         probed = (
             tagged.where(F.col("_maybe_seen"))
             .drop("_maybe_seen")

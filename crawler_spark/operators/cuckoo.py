@@ -287,6 +287,7 @@ class CuckooShards:
         *,
         recent_min_seq: Optional[int] = None,
         seq_col: str = "seq",
+        broadcast_recent: bool = True,
     ) -> DataFrame:
         """Identical contract to BloomShards.prefilter_fresh (M5 — the
         filter never rejects alone); duck-typed so CrawlEngine can swap
@@ -294,5 +295,6 @@ class CuckooShards:
         from crawler_spark.operators.bloom import BloomShards
 
         return BloomShards.prefilter_fresh(
-            self, links, seen, url_col, recent_min_seq=recent_min_seq, seq_col=seq_col
+            self, links, seen, url_col, recent_min_seq=recent_min_seq,
+            seq_col=seq_col, broadcast_recent=broadcast_recent,
         )

@@ -628,16 +628,17 @@ class CrawlEngine:
         """Fold the frames into fresh bases (the amortized full rewrite)
         and re-cover the bloom/cuckoo shards from the compacted seen —
         after which the recent slice (seq >= cover) is empty again. The
-        two folds are independent Spark jobs, submitted concurrently."""
+        folds run SEQUENTIALLY: compaction is the amortized path where
+        peak memory matters more than latency (two concurrent full-state
+        folds measured an executor-memory OOM at a 15M-row frontier that
+        the sequential form clears)."""
         if not (self._f_adds or self._f_cons or self._lsm_delta_rows):
             return  # nothing staged — the bases ARE the state
-        f_fut = self._pool.submit(_checkpoint, self._frontier_view())
-        s_fut = self._pool.submit(
-            _checkpoint,
+        new_f = _checkpoint(self._frontier_view())
+        new_s = _checkpoint(
             self._s_base.join(self._s_delta.select("url"), "url", "left_anti")
-            .unionByName(self._s_delta),
+            .unionByName(self._s_delta)
         )
-        new_f, new_s = f_fut.result(), s_fut.result()
         for old in (self._f_base, self._s_base, self._s_delta, *self._f_adds, *self._f_cons):
             _release_checkpoint(old)
         self._f_base, self._f_adds, self._f_cons = new_f, [], []
@@ -1018,10 +1019,20 @@ class CrawlEngine:
             good = filter_trapped(good, traps)
 
         # exact URL-seen anti-join (north rule: exact set); with bloom
-        # enabled, proven-fresh rows skip the shuffle probe (M5)
+        # enabled, proven-fresh rows skip the shuffle probe (M5). The
+        # recent slice is broadcast only while its driver-known row bound
+        # is broadcast-sized: the rewrite path's rebuild cadence keeps it
+        # at bloom_rebuild_rows; an LSM engine's slice is bounded by the
+        # compaction window, which can be millions of rows at full scale.
         if self.bloom is not None:
+            recent_bound = (
+                self._lsm_delta_rows
+                if self.state_maintenance == "lsm"
+                else self._bloom_recent_rows
+            )
             fresh = self.bloom.prefilter_fresh(
-                good, seen, recent_min_seq=self._bloom_cover_seq
+                good, seen, recent_min_seq=self._bloom_cover_seq,
+                broadcast_recent=recent_bound <= 200_000,
             )
         else:
             fresh = good.join(seen.select("url"), "url", "left_anti")

@@ -131,3 +131,44 @@ def test_lsm_delta_precedence_lookup(spark, tmp_path):
     # ok-pages revisit to the cap; dropped/errored urls finish earlier
     assert done_visits and max(done_visits.values()) == 3
     assert all(v <= 3 for v in done_visits.values())
+
+
+def test_lsm_with_cache_and_trap_guard(spark, tmp_path):
+    """LSM composed with the round-3 integrations: S5 cache routing
+    (delta-precedence lookup + cache joins in the same fetch plan) and
+    the L8 trap census (which scans the base∪delta membership view) —
+    order-exact incl. per-pop cache_route vs the serial oracle, across
+    compaction boundaries."""
+    from crawler_spark.plans.oracle import crawl_oracle
+
+    fx = synth_web(
+        n_pages=25, n_hosts=3, seed=33, max_visits=3, cache_rate=0.85,
+        error_rate=0.08, intervals=(0, 30, 60),
+    )
+    policy = CrawlPolicy(
+        max_depth=5, max_visits=3, min_delay_ms=150, retry_delay_ms=80,
+        cache_enabled=True,
+        trap_threshold_expr="CASE WHEN depth <= 1 THEN 1000 ELSE 1000 END",
+    )
+    eng = CrawlEngine(
+        spark, fx.web_df(spark), host_policy=fx.host_policy_df(spark),
+        policy=policy, workdir=str(tmp_path / "w"),
+        state_maintenance="lsm", compact_rows=30, compact_steps=3,
+    )
+    got = eng.run(fx.seeds)
+    want = crawl_oracle(
+        fx.seeds, fx.oracle_web(), fx.oracle_host_policy(),
+        policy=policy, ticket_at=policy.ticket_at,
+    )
+    assert eng.n_compactions >= 2
+    g = [
+        (r["emit_ord"], r["url"], r["emit_ms"], r["status"], r["outcome"], r["cache_route"])
+        for r in got.emitted.orderBy("emit_ord").collect()
+    ]
+    w = [
+        (e["emit_ord"], e["url"], e["emit_ms"], e["status"], e["outcome"], e["cache_route"])
+        for e in want.emitted
+    ]
+    assert g == w
+    routes = {e["cache_route"] for e in want.emitted}
+    assert {"miss", "hit"} <= routes, routes

@@ -23,7 +23,7 @@ from crawler_spark.sources.fixtures import synth_web
 
 
 def run_both(spark, tmp_path, fx, policy, mode="exact", max_pops=None, snapshot_every=0,
-             oracle_max_pops=None):
+             oracle_max_pops=None, **engine_kwargs):
     engine = CrawlEngine(
         spark,
         fx.web_df(spark),
@@ -33,6 +33,7 @@ def run_both(spark, tmp_path, fx, policy, mode="exact", max_pops=None, snapshot_
         mode=mode,
         snapshot_every=snapshot_every,
         max_pops=max_pops,
+        **engine_kwargs,
     )
     got = engine.run(fx.seeds)
     want = crawl_oracle(
@@ -251,6 +252,7 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 
+@pytest.mark.parametrize("state_maintenance", ["rewrite", "lsm"])
 @given(
     seed=st.integers(min_value=0, max_value=10_000),
     n_pages=st.integers(min_value=12, max_value=36),
@@ -265,14 +267,18 @@ from hypothesis import strategies as st
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
 def test_random_graphs_match_oracle(
-    spark, seed, n_pages, n_hosts, intervals, max_visits, max_depth
+    spark, state_maintenance, seed, n_pages, n_hosts, intervals, max_visits,
+    max_depth,
 ):
     """The 8 fixed scenarios pin known policy corners; this sweeps
     RANDOM graphs (skew, errors, redirects, messy/dead links, robots
-    paths) × random politeness/visit policies and demands the batched
-    engine still reproduce the serial oracle exactly — crawl order AND
-    final seen set. Any divergence hypothesis finds shrinks to a
-    minimal (seed, shape) counterexample."""
+    paths) × random politeness/visit policies × both state-maintenance
+    write paths and demands the batched engine still reproduce the
+    serial oracle exactly — crawl order AND final seen set. LSM runs
+    use a tiny compaction cadence so compaction boundaries land
+    MID-crawl (the seam where delta-precedence bugs would live). Any
+    divergence hypothesis finds shrinks to a minimal (seed, shape)
+    counterexample."""
     import tempfile
 
     fx = synth_web(
@@ -280,9 +286,14 @@ def test_random_graphs_match_oracle(
         intervals=intervals, max_visits=max_visits,
     )
     policy = CrawlPolicy(max_retry=2, max_visits=max_visits, max_depth=max_depth)
+    lsm_kwargs = (
+        dict(state_maintenance="lsm", compact_rows=25, compact_steps=2)
+        if state_maintenance == "lsm"
+        else {}
+    )
     got, want = run_both(
         spark, __import__("pathlib").Path(tempfile.mkdtemp(prefix="hyp_e2e_")),
-        fx, policy,
+        fx, policy, **lsm_kwargs,
     )
     assert_match(got, want)
 

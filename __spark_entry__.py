@@ -52,6 +52,28 @@ def q_politeness_budget(spark, sf_dir):
     )
 
 
+def q_token_bucket(spark, sf_dir):
+    """Q7 — per-host token-bucket reservation (reference
+    ratelimit/rate.go:50-74, x/time/rate semantics): events are the
+    request stream (user_id = host), each host's limit derived
+    deterministically from its id; outputs Reservation.Delay +
+    timeToAct per request. Oracle: the identical integer credit-ms
+    recurrence as a DuckDB recursive CTE."""
+    from crawler_spark.operators.ratelimit import token_bucket_reserve
+
+    ev = _t(spark, sf_dir, "events")
+    reqs = ev.select(
+        F.col("user_id").alias("host"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("arrival_ms"),
+        F.col("event_id").alias("seq"),
+        (F.lit(200) + (F.col("user_id") % 7) * 150).cast("long").alias("interval_ms"),
+        (F.lit(1) + (F.col("user_id") % 4)).cast("int").alias("burst"),
+    )
+    return token_bucket_reserve(reqs).select(
+        "host", F.col("seq").alias("event_id"), "wait_ms", "reserve_at_ms"
+    )
+
+
 def q_seen_antijoin(spark, sf_dir):
     """L7/M1 — the URL-seen dedupe: anti-join the 'discovered' stream
     against the 'seen' set, count survivors per class."""
@@ -981,6 +1003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "frontier_topk": q_frontier_topk,
         "politeness_budget": q_politeness_budget,
+        "token_bucket": q_token_bucket,
         "seen_antijoin": q_seen_antijoin,
         "first_writer_wins": q_first_writer_wins,
         "retry_taxonomy": q_retry_taxonomy,
@@ -1393,6 +1416,26 @@ def oracle_sql() -> dict[str, str]:
             " SELECT user_id, event_id, ROW_NUMBER() OVER "
             " (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn FROM events)"
             " WHERE rn <= 2"
+        ),
+        "token_bucket": (
+            "WITH RECURSIVE reqs AS ("
+            " SELECT user_id AS host, event_id, epoch_ms(ts) AS t,"
+            "        CAST(200 + (user_id % 7) * 150 AS BIGINT) AS d,"
+            "        CAST(1 + (user_id % 4) AS BIGINT) AS b,"
+            "        ROW_NUMBER() OVER (PARTITION BY user_id"
+            "                           ORDER BY epoch_ms(ts), event_id) AS rn"
+            " FROM events"
+            "), tb AS ("
+            " SELECT host, event_id, t, d, b, rn, b*d - d AS credit"
+            " FROM reqs WHERE rn = 1"
+            " UNION ALL"
+            " SELECT r.host, r.event_id, r.t, r.d, r.b, r.rn,"
+            "        least(r.b*r.d, tb.credit + (r.t - tb.t)) - r.d"
+            " FROM reqs r JOIN tb ON r.host = tb.host AND r.rn = tb.rn + 1"
+            ") SELECT host, event_id,"
+            "         greatest(0, -credit) AS wait_ms,"
+            "         t + greatest(0, -credit) AS reserve_at_ms"
+            " FROM tb"
         ),
         "seen_antijoin": (
             "SELECT event_type, count(*) AS n_unseen FROM events e "

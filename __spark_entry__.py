@@ -74,6 +74,21 @@ def q_token_bucket(spark, sf_dir):
     )
 
 
+def q_max_hosts_admission(spark, sf_dir):
+    """C10 — MaxHosts backpressure (reference ratelimitq/queue.go:
+    184-191): only the first K hosts by earliest queued item are
+    schedulable; later hosts defer. events = the frontier (user_id =
+    host, event_id = seq); admit rows of the first 10 hosts."""
+    from crawler_spark.operators.selection import admit_hosts
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("host_key"), F.col("event_id").alias("seq")
+    )
+    return admit_hosts(ev, 10).select(
+        F.col("host_key").alias("host"), F.col("seq").alias("event_id")
+    )
+
+
 def q_seen_antijoin(spark, sf_dir):
     """L7/M1 — the URL-seen dedupe: anti-join the 'discovered' stream
     against the 'seen' set, count survivors per class."""
@@ -1004,6 +1019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_topk": q_frontier_topk,
         "politeness_budget": q_politeness_budget,
         "token_bucket": q_token_bucket,
+        "max_hosts_admission": q_max_hosts_admission,
         "seen_antijoin": q_seen_antijoin,
         "first_writer_wins": q_first_writer_wins,
         "retry_taxonomy": q_retry_taxonomy,
@@ -1436,6 +1452,12 @@ def oracle_sql() -> dict[str, str]:
             "         greatest(0, -credit) AS wait_ms,"
             "         t + greatest(0, -credit) AS reserve_at_ms"
             " FROM tb"
+        ),
+        "max_hosts_admission": (
+            "WITH a AS (SELECT user_id, min(event_id) AS s0 FROM events"
+            "           GROUP BY user_id ORDER BY s0 LIMIT 10)"
+            " SELECT e.user_id AS host, e.event_id"
+            " FROM events e JOIN a ON a.user_id = e.user_id"
         ),
         "seen_antijoin": (
             "SELECT event_type, count(*) AS n_unseen FROM events e "

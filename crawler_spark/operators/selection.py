@@ -374,3 +374,42 @@ def _cap_per_host(rows: DataFrame, cap: int) -> DataFrame:
         .drop("_rn")
     )
     return fast_path.unionByName(capped)
+
+
+def admit_hosts(
+    frontier: DataFrame,
+    max_hosts: int,
+    *,
+    host_col: str = "host_key",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """C10 — ``MaxHosts`` backpressure (reference ratelimitq/queue.go:
+    112,184-191): the serial queue BLOCKS ``Push`` while the primary
+    heap already holds ``MaxHosts`` distinct hosts, so hosts are
+    admitted in the arrival order of their first item and newcomers
+    wait until an admitted host drains.
+
+    The batch refinement defers instead of blocking (a superstep engine
+    has no producer to suspend): per tick, only the first ``max_hosts``
+    hosts ranked by their minimum live ``seq`` — the batch image of
+    "arrival order of the first queued item" — are eligible for
+    selection; the rest stay in the frontier untouched. Starvation-free:
+    an admitted host's min live seq only grows as its items are
+    consumed, so every deferred host's (fixed) min seq eventually ranks
+    inside the top ``max_hosts``. Cross-host order may differ from the
+    serial blocking schedule (documented divergence); the within-host
+    schedule and the final seen/pop sets are unchanged
+    (test_backpressure.py).
+
+    Plan shape: one partial-aggregated groupBy(host) min + a global
+    top-K (TakeOrderedAndProject — K rows move) + a broadcast left-semi
+    join; no frontier-scale sort or window.
+    """
+    active = (
+        frontier.groupBy(host_col)
+        .agg(F.min(seq_col).alias("_s0"))
+        .orderBy(F.col("_s0").asc())
+        .limit(int(max_hosts))
+        .select(host_col)
+    )
+    return frontier.join(F.broadcast(active), host_col, "left_semi")

@@ -48,7 +48,7 @@ from pyspark.sql.types import (
 from crawler_spark.config import CrawlPolicy
 from crawler_spark.functions.urlnorm import canonicalize_udf, resolve_links_udf
 from crawler_spark.operators.ordering import prio_col, with_emit_order
-from crawler_spark.operators.selection import select_batch
+from crawler_spark.operators.selection import admit_hosts, select_batch
 from crawler_spark.state.snapshot import SnapshotStore
 
 FRONTIER_SCHEMA = StructType([
@@ -1257,8 +1257,16 @@ class CrawlEngine:
             # deferred e_min folds the scalar into the plan (no driver
             # round-trip) — see deferred_emin in __init__ for when.
             deferred = self.deferred_emin
+            # C10: restrict selection to the first max_hosts hosts by
+            # min live seq; non-empty whenever the frontier is, so the
+            # drained-break below still detects true termination
+            sel_frontier = (
+                admit_hosts(frontier, p.max_hosts)
+                if p.max_hosts is not None
+                else frontier
+            )
             sel = select_batch(
-                frontier,
+                sel_frontier,
                 host_state,
                 default_interval_ms=p.default_interval_ms,
                 mode=self.mode,

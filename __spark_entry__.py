@@ -270,6 +270,25 @@ def q_doc_fingerprint(spark, sf_dir):
     return d.select("doc_id", fingerprint_md5(F.col("text")).alias("fp"))
 
 
+def q_dedup_groups(spark, sf_dir):
+    """Connected components over a near-dup pair graph — the transitive
+    closure that turns pair-finders (minhash/simhash/phash) into "keep
+    one copy per cluster". Min-label propagation + pointer doubling,
+    O(log diameter) rounds (operators/components.py). The pair graph is
+    derived arithmetically from events so the DuckDB oracle can rebuild
+    the identical graph and close it with a recursive CTE: nodes
+    event_id % 4000 in blocks of 40, one edge per event with
+    event_id % 7 = 0 — sparse enough that blocks fragment into
+    non-trivial multi-node components."""
+    from crawler_spark.operators.components import connected_components
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") % 7 == 0)
+    u = (F.col("event_id") % 4000).cast("long")
+    v = (u - (u % 40) + (F.col("event_id") * 7919) % 40).cast("long")
+    pairs = ev.select(u.alias("id_a"), v.alias("id_b")).where(u != v)
+    return connected_components(pairs)
+
+
 def q_text_stats(spark, sf_dir):
     from crawler_spark.functions.text import alpha_ratio, punct_ratio, token_count
 
@@ -1033,6 +1052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_rollup": q_region_rollup,
         "url_canonicalize": q_url_canonicalize,
         "dedup_exact": q_dedup_exact,
+        "dedup_groups": q_dedup_groups,
         "doc_fingerprint": q_doc_fingerprint,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
@@ -1535,6 +1555,26 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": (
             f"SELECT md5({norm}) AS fp, min(doc_id) AS keep_id, "
             f"count(*) AS n_dups FROM documents GROUP BY 1"
+        ),
+        "dedup_groups": (
+            # same arithmetic graph as the Spark side; component = min
+            # reachable node id via the undirected closure (recursive
+            # CTE with set-union semantics => guaranteed fixpoint)
+            "WITH RECURSIVE base AS ("
+            "  SELECT event_id % 4000 AS a,"
+            "         (event_id % 4000) - ((event_id % 4000) % 40)"
+            "           + (event_id * 7919) % 40 AS b"
+            "  FROM events WHERE event_id % 7 = 0"
+            "), ed AS ("
+            "  SELECT a AS u, b AS v FROM base WHERE a <> b"
+            "  UNION"
+            "  SELECT b, a FROM base WHERE a <> b"
+            "), r AS ("
+            "  SELECT u, u AS m FROM (SELECT DISTINCT u FROM ed)"
+            "  UNION"
+            "  SELECT e.v AS u, r.m FROM r JOIN ed e ON e.u = r.u"
+            ")"
+            " SELECT u AS id, min(m) AS component FROM r GROUP BY u"
         ),
         "doc_fingerprint": f"SELECT doc_id, md5({norm}) AS fp FROM documents",
         "text_stats": (

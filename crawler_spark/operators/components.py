@@ -1,0 +1,134 @@
+"""Connected components over near-duplicate pair graphs.
+
+Every near-dup operator in this engine (minhash_near_dups,
+simhash_near_dups, phash near-dups, embedding_near_dups) returns PAIRS;
+an actual dedup pass needs CLUSTERS — the transitive closure of the
+pair relation — so that "keep one copy per group" keeps exactly one
+copy even when A~B and B~C but A and C never collided directly. The
+reference reaches the same end state serially: its BK-tree controller
+(example from sample/fingerprint + sample/bktree) folds each new
+fingerprint into the nearest existing cluster one document at a time;
+here the batch equivalent is a distributed connected-components pass.
+
+Algorithm: min-label propagation with pointer doubling (the standard
+PRAM shortcutting trick, cf. Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC'14 — public literature). Each round:
+
+  1. propagate  — comp(u) := min(comp(u), min over neighbors comp(v))
+  2. shortcut   — comp(u) := comp(comp(u))   (pointer doubling)
+
+Labels are node ids, start at comp(u)=u, only ever decrease, and are
+bounded below by the component minimum, so the fixpoint assigns every
+node its component's minimum id. Propagation alone needs diameter(d)
+rounds; the shortcut step halves the effective pointer depth each
+round, giving O(log d) rounds total — a path of a million nodes
+converges in ~20 rounds, not a million.
+
+Design for 100 TB:
+  * per round: one partial-aggregated groupBy(u).min (map-side combine
+    absorbs high-degree skew) + two hash joins on the label table — no
+    sorts, no windows, no driver-side data.
+  * the edge table is symmetrized + deduped ONCE and persisted; every
+    round reuses it (and its shuffle partitioning).
+  * labels are localCheckpoint'd per round to truncate the iterative
+    lineage (the same superstep discipline as the crawl engine).
+  * the only driver round-trip is one scalar aggregate per round for
+    the convergence test (labels only decrease, so an unchanged
+    checksum of sum(comp) == fixpoint) — O(log d) scalar actions for
+    the whole job, never row data.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    *,
+    max_iter: int = 50,
+) -> DataFrame:
+    """(id, component) for every node appearing in ``pairs``; component
+    is the minimum node id reachable via the undirected pair relation.
+
+    Deterministic; self-loop pairs are ignored. ``max_iter`` bounds the
+    doubling loop (50 rounds covers diameters beyond 2^40 — hitting it
+    means a broken convergence invariant, so it raises rather than
+    returning partial labels).
+    """
+    e = pairs.select(
+        F.col(src_col).cast("long").alias("u"),
+        F.col(dst_col).cast("long").alias("v"),
+    ).where(F.col("u") != F.col("v"))
+    sym = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        sym.select(F.col("u").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("comp"))
+        .localCheckpoint()
+    )
+    # labels only decrease, so sum(comp) strictly decreases every
+    # non-fixpoint round; an unchanged sum IS convergence (cheaper than
+    # a change-count join). decimal(38,0) so the checksum cannot
+    # overflow at any node count.
+    prev_sum = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(
+                labels.select(F.col("id").alias("v"), F.col("comp").alias("vc")), "v"
+            )
+            .groupBy("u")
+            .agg(F.min("vc").alias("nc"))
+            .select(F.col("u").alias("id"), "nc")
+        )
+        l1 = labels.join(nbr_min, "id", "left").select(
+            "id",
+            F.least(F.col("comp"), F.coalesce(F.col("nc"), F.col("comp"))).alias("comp"),
+        )
+        # shortcut: comp := comp(comp). every comp value is a node id,
+        # so the self-join always matches; left+coalesce keeps the plan
+        # total even so.
+        parent = l1.select(F.col("id").alias("comp"), F.col("comp").alias("cc"))
+        l2 = (
+            l1.join(parent, "comp", "left")
+            .select("id", F.coalesce(F.col("cc"), F.col("comp")).alias("comp"))
+            .localCheckpoint()
+        )
+        cur_sum = l2.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
+        labels = l2
+        if cur_sum == prev_sum:
+            sym.unpersist()
+            return labels.select("id", F.col("comp").alias("component"))
+        prev_sum = cur_sum
+    sym.unpersist()
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        "(labels are monotone, so this indicates a bug, not slow input)"
+    )
+
+
+def canonical_docs(
+    df: DataFrame, pairs: DataFrame, id_col: str,
+    src_col: str = "id_a", dst_col: str = "id_b",
+) -> DataFrame:
+    """The deduplicated corpus under a near-dup PAIR relation: keep the
+    minimum-id document of every connected cluster, plus every document
+    that appears in no pair.
+
+    One anti-join against the drop set (cluster members that are not
+    their component's representative) — the drop set is |pairs|-scale,
+    not corpus-scale, so the corpus passes through exactly once.
+    """
+    comp = connected_components(pairs, src_col, dst_col)
+    drop = comp.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")

@@ -897,6 +897,27 @@ def q_phash_near_dups(spark, sf_dir):
     return phash_near_dups(payload, radius=6)
 
 
+def q_image_dup_groups(spark, sf_dir):
+    """Image-axis dedup end-to-end: perceptual-hash Hamming≤6 pairs
+    (pigeonhole-blocked join, never all-pairs) closed into clusters by
+    connected components — the canonical-image-per-cluster table a
+    training-data pipeline actually consumes. The oracle recomputes the
+    phash in SQL, does the exact all-pairs check at sf scale, and
+    closes the pair graph with a recursive CTE."""
+    from crawler_spark.operators.components import connected_components
+    from crawler_spark.operators.multimodal import phash_near_dups
+
+    d = _t(spark, sf_dir, "documents")
+    payload = d.select(
+        F.col("doc_id").alias("image_id"),
+        F.expr(_phash_sql_expr("spark")).alias("phash"),
+    )
+    pairs = phash_near_dups(payload, radius=6)
+    return connected_components(pairs).select(
+        F.col("id").alias("image_id"), "component"
+    )
+
+
 # robots_gate fixture: rule table exercising every RFC 9309 feature the
 # production gate implements ('*' wildcards, terminal-'$' anchor,
 # Allow-wins-ties, longest-match precedence, no-rules default-allow)
@@ -1074,6 +1095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cache_evict": q_cache_evict,
         "host_budget_cancel": q_host_budget_cancel,
         "phash_near_dups": q_phash_near_dups,
+        "image_dup_groups": q_image_dup_groups,
         "robots_gate": q_robots_gate,
         "extract_links": q_extract_links,
         "crawl_bfs": q_crawl_bfs,
@@ -1631,6 +1653,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming "
             "FROM ph a JOIN ph b ON a.doc_id < b.doc_id "
             "WHERE bit_count(xor(a.phash, b.phash)) <= 6"
+        ),
+        "image_dup_groups": (
+            f"WITH RECURSIVE ph AS (SELECT doc_id, {_phash_sql_expr('duck')} "
+            "AS phash FROM documents), "
+            "p AS (SELECT a.doc_id AS u, b.doc_id AS v FROM ph a "
+            "JOIN ph b ON a.doc_id < b.doc_id "
+            "WHERE bit_count(xor(a.phash, b.phash)) <= 6), "
+            "ed AS (SELECT u, v FROM p UNION SELECT v, u FROM p), "
+            "r AS (SELECT u, u AS m FROM (SELECT DISTINCT u FROM ed) "
+            "UNION SELECT e.v AS u, r.m FROM r JOIN ed e ON e.u = r.u) "
+            "SELECT u AS image_id, min(m) AS component FROM r GROUP BY u"
         ),
         "robots_gate": _robots_gate_oracle_sql(),
         "extract_links": _EXTRACT_LINKS_SQL,

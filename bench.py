@@ -62,6 +62,10 @@ def main() -> None:
         "quality_filter",
         "phash_near_dups",
         "extract_links",
+        # r3 additions: near-dup clustering (iterative connected
+        # components) standalone and composed with the phash pair join
+        "dedup_groups",
+        "image_dup_groups",
     ]
     # The minhash/simhash driver entries use the md5 hash family so the
     # DuckDB oracle can recompute them; the benchmark measures the

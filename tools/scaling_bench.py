@@ -171,6 +171,19 @@ agg_sec = best(lambda: ev.groupBy("host").agg(
 
 frontier.unpersist(); seen.unpersist()
 
+# ---- leg E: connected-components kernel ---------------------------------
+# iterative near-dup clustering (operators/components.py): 2 edges/node
+# in blocks of 1024 -> random-graph diameter ~log(block) so the doubling
+# loop runs ~4-5 rounds; measures per-round shuffle+join throughput, the
+# thing that scales, with round count held constant across levels.
+from crawler_spark.operators.components import connected_components
+N_CC = int(4_000_000 * scale)
+cc_edges = spark.range(int(8_000_000 * scale), numPartitions=32).select(
+    (F.col("id") % N_CC).alias("id_a"),
+    ((F.col("id") % N_CC) - (F.col("id") % N_CC) % 1024
+     + (F.col("id") * 2654435761) % 1024).alias("id_b"))
+cc_sec = best(lambda: connected_components(cc_edges).count(), reps=2, warmup=1)
+
 # ---- leg D: crawl loop (context only) ----------------------------------
 web, _ = entrymod._derived_web(spark, sf_dir, n_events=5000)
 web = web.persist(); web.count()
@@ -197,6 +210,7 @@ print(json.dumps(dict(
     tick_sec=round(tick_sec, 2),
     scan_sec=round(scan_sec, 2),
     agg_sec=round(agg_sec, 2),
+    cc_sec=round(cc_sec, 2),
     crawl_sec=round(crawl_sec, 2), pops=res.pops,
     loop_urls_per_sec=round(res.pops / crawl_sec, 2),
 )))
@@ -254,6 +268,7 @@ def main():
         scaling_efficiency_tick=eff(lo["tick_sec"], hi["tick_sec"]),
         scaling_efficiency_scan_ceiling=eff(lo["scan_sec"], hi["scan_sec"]),
         scaling_efficiency_agg=eff(lo["agg_sec"], hi["agg_sec"]),
+        scaling_efficiency_cc=eff(lo["cc_sec"], hi["cc_sec"]),
     )
     # the tick kernel is cached-scan-dominated, so its per-run ceiling is
     # the shuffle-free scan leg on the same data in the same JVMs — the
@@ -278,6 +293,8 @@ def main():
         f"| {lo['tick_sec']}s → {hi['tick_sec']}s ({result['scaling_efficiency_tick']}) "
         f"| {lo['agg_sec']}s → {hi['agg_sec']}s ({result['scaling_efficiency_agg']}) "
         f"| {lo['loop_urls_per_sec']} → {hi['loop_urls_per_sec']} |\n"
+        f"  - cc-kernel (8M-edge connected components): {lo['cc_sec']}s → "
+        f"{hi['cc_sec']}s (eff {result['scaling_efficiency_cc']})\n"
     )
     with open(os.path.join(REPO, "BENCH.md"), "a") as f:
         f.write(md)

@@ -918,6 +918,103 @@ def q_image_dup_groups(spark, sf_dir):
     )
 
 
+def _mm_quality_payload(d):
+    """Deterministic image+caption payload (input_hint shape) derived
+    from documents, with every quality-gate rule represented: small
+    w/h (the +8 offsets), extreme aspect ratios (8×218 ≈ 27:1),
+    low bytes-per-pixel (text bytes over large pixel counts), and a
+    doc_id%11 slice of too-short captions."""
+    return d.select(
+        F.concat(F.lit("img"), F.col("doc_id").cast("string")).alias("image_id"),
+        F.encode("text", "utf-8").alias("bytes"),
+        ((F.col("doc_id") % 97) + 8).cast("int").alias("w"),
+        ((F.col("doc_id") % 211) + 8).cast("int").alias("h"),
+        F.lit("png").alias("fmt"),
+        F.when(F.col("doc_id") % 11 == 0, F.lit("short"))
+        .otherwise(
+            F.concat(F.lit("caption for image "), F.col("doc_id").cast("string"))
+        )
+        .alias("caption"),
+        F.lit(0).cast("long").alias("phash"),
+    )
+
+
+def q_image_quality(spark, sf_dir):
+    """Image-axis corpus gate (multimodal.image_quality_filter):
+    keep/reject verdicts from metadata alone — min dims, aspect ratio,
+    bytes-per-pixel plausibility, caption length. Pure JVM column
+    expressions (the byte column only reaches octet_length); the oracle
+    re-derives every verdict with the same first-match CASE in SQL."""
+    from crawler_spark.operators.multimodal import image_quality_filter
+
+    d = _t(spark, sf_dir, "documents")
+    return image_quality_filter(_mm_quality_payload(d))
+
+
+_IMAGE_QUALITY_SQL = """
+WITH p AS (
+  SELECT 'img' || doc_id AS image_id,
+         octet_length(encode(text)) AS n_bytes,
+         CAST(doc_id % 97 + 8 AS INT) AS w,
+         CAST(doc_id % 211 + 8 AS INT) AS h,
+         CASE WHEN doc_id % 11 = 0 THEN 'short'
+              ELSE 'caption for image ' || doc_id END AS caption
+  FROM documents
+)
+SELECT image_id, w, h, CAST(n_bytes AS INT) AS n_bytes,
+  CAST(length(trim(caption)) AS INT) AS caption_len,
+  CAST(floor((n_bytes / (CAST(w AS BIGINT) * h)) * 10000) AS BIGINT) AS bpp_e4,
+  CASE
+    WHEN w < 64 THEN 'too_narrow'
+    WHEN h < 64 THEN 'too_short'
+    WHEN CAST(greatest(w, h) AS DOUBLE) / CAST(least(w, h) AS DOUBLE) > 4.0
+      THEN 'extreme_aspect'
+    WHEN n_bytes / (CAST(w AS BIGINT) * h) < 0.05 THEN 'low_entropy'
+    WHEN n_bytes / (CAST(w AS BIGINT) * h) > 20.0 THEN 'suspicious_size'
+    WHEN length(trim(caption)) < 8 THEN 'caption_too_short'
+    ELSE 'keep'
+  END AS verdict
+FROM p
+"""
+
+
+def q_caption_dedup_best(spark, sf_dir):
+    """Caption-level exact dedup keeping the best copy
+    (multimodal.caption_dedup_best): one partial-aggregated groupBy
+    whose argmax is a min over a (−pixels, image_id) struct — no
+    window, no secondary sort. doc_id%137 caption keys give ~3-4
+    copies per caption; the oracle picks the same winner with a
+    row_number window at sf scale."""
+    from crawler_spark.operators.multimodal import caption_dedup_best
+
+    d = _t(spark, sf_dir, "documents")
+    payload = d.select(
+        F.concat(F.lit("img"), F.col("doc_id").cast("string")).alias("image_id"),
+        ((F.col("doc_id") % 97) + 8).cast("int").alias("w"),
+        ((F.col("doc_id") % 211) + 8).cast("int").alias("h"),
+        F.concat(F.lit("Cap "), (F.col("doc_id") % 137).cast("string")).alias("caption"),
+    )
+    return caption_dedup_best(payload)
+
+
+_CAPTION_DEDUP_SQL = """
+WITH p AS (
+  SELECT lower(trim('Cap ' || (doc_id % 137))) AS caption_key,
+         'img' || doc_id AS image_id,
+         CAST(doc_id % 97 + 8 AS BIGINT) * (doc_id % 211 + 8) AS px
+  FROM documents
+), r AS (
+  SELECT caption_key, image_id, px,
+         row_number() OVER (PARTITION BY caption_key
+                            ORDER BY px DESC, image_id) AS rn,
+         count(*) OVER (PARTITION BY caption_key) AS n_copies
+  FROM p
+)
+SELECT caption_key, n_copies, image_id AS keep_image_id, px AS keep_pixels
+FROM r WHERE rn = 1
+"""
+
+
 # robots_gate fixture: rule table exercising every RFC 9309 feature the
 # production gate implements ('*' wildcards, terminal-'$' anchor,
 # Allow-wins-ties, longest-match precedence, no-rules default-allow)
@@ -1096,6 +1193,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_budget_cancel": q_host_budget_cancel,
         "phash_near_dups": q_phash_near_dups,
         "image_dup_groups": q_image_dup_groups,
+        "image_quality": q_image_quality,
+        "caption_dedup_best": q_caption_dedup_best,
         "robots_gate": q_robots_gate,
         "extract_links": q_extract_links,
         "crawl_bfs": q_crawl_bfs,
@@ -1665,6 +1764,8 @@ def oracle_sql() -> dict[str, str]:
             "UNION SELECT e.v AS u, r.m FROM r JOIN ed e ON e.u = r.u) "
             "SELECT u AS image_id, min(m) AS component FROM r GROUP BY u"
         ),
+        "image_quality": _IMAGE_QUALITY_SQL,
+        "caption_dedup_best": _CAPTION_DEDUP_SQL,
         "robots_gate": _robots_gate_oracle_sql(),
         "extract_links": _EXTRACT_LINKS_SQL,
         "cache_route": (

@@ -66,6 +66,10 @@ def main() -> None:
         # components) standalone and composed with the phash pair join
         "dedup_groups",
         "image_dup_groups",
+        # r3 additions: image-corpus gates (metadata-only quality filter,
+        # best-copy-per-caption argmax)
+        "image_quality",
+        "caption_dedup_best",
     ]
     # The minhash/simhash driver entries use the md5 hash family so the
     # DuckDB oracle can recompute them; the benchmark measures the

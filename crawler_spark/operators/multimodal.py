@@ -277,6 +277,95 @@ def payload_size_stats(payload: DataFrame) -> DataFrame:
     )
 
 
+def image_quality_filter(
+    payload: DataFrame,
+    *,
+    min_w: int = 64,
+    min_h: int = 64,
+    max_aspect: float = 4.0,
+    min_bpp: float = 0.05,
+    max_bpp: float = 20.0,
+    min_caption_chars: int = 8,
+) -> DataFrame:
+    """Training-corpus image gate: per-row keep/reject verdict from
+    metadata alone — tiny images, extreme aspect ratios, suspicious
+    bytes-per-pixel (too low ⇒ blank/solid fill, too high ⇒ corrupt or
+    mislabeled format), and too-short captions (a paired image+caption
+    corpus is only as good as its captions). The reference's analog is
+    the MaxLen/content-type gate on fetched bodies
+    (/root/reference/crawler.go:35-49 Config.MaxHTML + util.go body
+    caps); the LAION-style metadata gates are the corpus-side extension.
+
+    Scale: pure JVM column expressions end-to-end — the byte column only
+    reaches ``octet_length`` so column pruning keeps the parquet scan
+    narrow (never materializes pixels), and the verdict CASE is
+    whole-stage-codegen'd. First matching rule wins, so the verdict is
+    deterministic and SQL-expressible for the oracle.
+
+    Returns (image_id, w, h, n_bytes, caption_len, bpp_e4, verdict)
+    where bpp_e4 = floor(bytes-per-pixel × 10⁴) (integer so exactness
+    survives engine round-trips) and verdict ∈ {keep, too_narrow,
+    too_short, extreme_aspect, low_entropy, suspicious_size,
+    caption_too_short}.
+    """
+    px = (F.col("w").cast("long") * F.col("h")).alias("px")
+    n_bytes = F.octet_length("bytes")
+    bpp = n_bytes / (F.col("w").cast("long") * F.col("h"))
+    aspect_num = F.greatest(F.col("w"), F.col("h")).cast("double")
+    aspect_den = F.least(F.col("w"), F.col("h")).cast("double")
+    cap_len = F.length(F.trim(F.col("caption")))
+    verdict = (
+        F.when(F.col("w") < min_w, F.lit("too_narrow"))
+        .when(F.col("h") < min_h, F.lit("too_short"))
+        .when(aspect_num / aspect_den > max_aspect, F.lit("extreme_aspect"))
+        .when(bpp < min_bpp, F.lit("low_entropy"))
+        .when(bpp > max_bpp, F.lit("suspicious_size"))
+        .when(cap_len < min_caption_chars, F.lit("caption_too_short"))
+        .otherwise(F.lit("keep"))
+    )
+    return payload.select(
+        "image_id",
+        "w",
+        "h",
+        n_bytes.alias("n_bytes"),
+        cap_len.alias("caption_len"),
+        F.floor(bpp * 10000).cast("long").alias("bpp_e4"),
+        verdict.alias("verdict"),
+    )
+
+
+def caption_dedup_best(payload: DataFrame, *, caption_norm=None) -> DataFrame:
+    """Exact caption-level dedup, keeping the best copy per caption: the
+    image+caption analog of ``dedup.exact_dedup`` where "which copy to
+    keep" matters — for a training corpus the highest-resolution image
+    wins (ties broken by image_id for determinism).
+
+    Scale: ONE partial-aggregated groupBy — the argmax is a ``min`` over
+    a (−pixels, image_id) struct, which combines map-side before the
+    shuffle (no window; struct-min lowers to SortAggregate whose sort is
+    per-partition and local). At 10^10 rows the single exchange moves
+    one struct per (partition, distinct caption), not the corpus.
+
+    Returns (caption_key, n_copies, keep_image_id, keep_pixels).
+    """
+    ck = caption_norm if caption_norm is not None else F.lower(F.trim(F.col("caption")))
+    px = F.col("w").cast("long") * F.col("h")
+    return (
+        payload.select(ck.alias("caption_key"), "image_id", px.alias("px"))
+        .groupBy("caption_key")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min(F.struct((-F.col("px")).alias("neg_px"), F.col("image_id"))).alias("b"),
+        )
+        .select(
+            "caption_key",
+            "n_copies",
+            F.col("b.image_id").alias("keep_image_id"),
+            (-F.col("b.neg_px")).alias("keep_pixels"),
+        )
+    )
+
+
 def phash_near_dups(payload: DataFrame, *, radius: int = 6) -> DataFrame:
     """Perceptual-hash near-duplicate pairs (image analog of simhash
     near-dup; reuses the pigeonhole-blocked Hamming join)."""

@@ -135,3 +135,70 @@ def test_sample_frames(spark):
     # pure column plan: no Python stage in the explain output
     plan = sample_frames(vids, stride=4)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_image_quality_filter(spark):
+    from crawler_spark.operators.multimodal import image_quality_filter
+
+    rows = [
+        # (image_id, w, h, n_bytes, caption) — one row per verdict branch
+        ("keep", 640, 480, 64_000, "a fine caption of adequate length"),
+        ("narrow", 32, 480, 64_000, "a fine caption of adequate length"),
+        ("short", 640, 32, 64_000, "a fine caption of adequate length"),
+        ("aspect", 2000, 100, 64_000, "a fine caption of adequate length"),
+        ("blank", 640, 480, 10, "a fine caption of adequate length"),
+        ("corrupt", 64, 64, 100_000, "a fine caption of adequate length"),
+        ("nocap", 640, 480, 64_000, "  hi  "),
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(b"\0" * min(nb, 1)) * nb, w, h, "png", c, 0) for i, w, h, nb, c in rows],
+        "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long",
+    )
+    got = {r["image_id"]: r for r in image_quality_filter(df).collect()}
+    assert got["keep"]["verdict"] == "keep"
+    assert got["narrow"]["verdict"] == "too_narrow"
+    assert got["short"]["verdict"] == "too_short"
+    assert got["aspect"]["verdict"] == "extreme_aspect"
+    assert got["blank"]["verdict"] == "low_entropy"
+    assert got["corrupt"]["verdict"] == "suspicious_size"
+    assert got["nocap"]["verdict"] == "caption_too_short"
+    assert got["nocap"]["caption_len"] == 2  # trimmed
+    # first-match precedence: a row failing several rules reports the first
+    assert got["narrow"]["w"] == 32
+    # integer bpp survives exactly: 64000 / (640*480) * 1e4 = 2083.33… → 2083
+    assert got["keep"]["bpp_e4"] == 2083
+    # metadata-only: the plan never sends bytes through Python
+    plan = image_quality_filter(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_caption_dedup_best(spark):
+    from crawler_spark.operators.multimodal import caption_dedup_best
+
+    df = spark.createDataFrame(
+        [
+            # "Sunset" ×3: img_b wins on pixels
+            ("img_a", 100, 100, " Sunset "),
+            ("img_b", 200, 200, "sunset"),
+            ("img_c", 150, 150, "SUNSET"),
+            # pixel tie: img_a2 < img_z2 lexically → img_a2 wins
+            ("img_z2", 50, 50, "beach"),
+            ("img_a2", 50, 50, "beach"),
+            # singleton passes through
+            ("img_solo", 10, 20, "mountain"),
+        ],
+        "image_id string, w int, h int, caption string",
+    )
+    got = {r["caption_key"]: r for r in caption_dedup_best(df).collect()}
+    assert set(got) == {"sunset", "beach", "mountain"}
+    assert got["sunset"]["keep_image_id"] == "img_b"
+    assert got["sunset"]["n_copies"] == 3
+    assert got["sunset"]["keep_pixels"] == 40_000
+    assert got["beach"]["keep_image_id"] == "img_a2"  # deterministic tie-break
+    assert got["mountain"]["n_copies"] == 1
+    # single partial-aggregated groupBy: the argmax combines map-side
+    # (partial_min over the struct), exactly one shuffle, no Window
+    plan = caption_dedup_best(df)._jdf.queryExecution().executedPlan().toString()
+    assert "partial_min" in plan
+    assert plan.count("Exchange") == 1
+    assert "Window(" not in plan

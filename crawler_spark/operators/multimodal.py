@@ -313,7 +313,8 @@ def image_quality_filter(
     bpp = n_bytes / (F.col("w").cast("long") * F.col("h"))
     aspect_num = F.greatest(F.col("w"), F.col("h")).cast("double")
     aspect_den = F.least(F.col("w"), F.col("h")).cast("double")
-    cap_len = F.length(F.trim(F.col("caption")))
+    # NULL caption must reject, not slip through a null CASE branch
+    cap_len = F.length(F.trim(F.coalesce(F.col("caption"), F.lit(""))))
     verdict = (
         F.when(F.col("w") < min_w, F.lit("too_narrow"))
         .when(F.col("h") < min_h, F.lit("too_short"))

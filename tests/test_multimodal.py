@@ -149,6 +149,7 @@ def test_image_quality_filter(spark):
         ("blank", 640, 480, 10, "a fine caption of adequate length"),
         ("corrupt", 64, 64, 100_000, "a fine caption of adequate length"),
         ("nocap", 640, 480, 64_000, "  hi  "),
+        ("nullcap", 640, 480, 64_000, None),
     ]
     df = spark.createDataFrame(
         [(i, bytearray(b"\0" * min(nb, 1)) * nb, w, h, "png", c, 0) for i, w, h, nb, c in rows],
@@ -163,6 +164,7 @@ def test_image_quality_filter(spark):
     assert got["corrupt"]["verdict"] == "suspicious_size"
     assert got["nocap"]["verdict"] == "caption_too_short"
     assert got["nocap"]["caption_len"] == 2  # trimmed
+    assert got["nullcap"]["verdict"] == "caption_too_short"  # NULL rejects
     # first-match precedence: a row failing several rules reports the first
     assert got["narrow"]["w"] == 32
     # integer bpp survives exactly: 64000 / (640*480) * 1e4 = 2083.33… → 2083

@@ -965,6 +965,7 @@ SELECT image_id, w, h, CAST(n_bytes AS INT) AS n_bytes,
   CAST(length(trim(caption)) AS INT) AS caption_len,
   CAST(floor((n_bytes / (CAST(w AS BIGINT) * h)) * 10000) AS BIGINT) AS bpp_e4,
   CASE
+    WHEN w IS NULL OR h IS NULL OR w <= 0 OR h <= 0 THEN 'bad_dims'
     WHEN w < 64 THEN 'too_narrow'
     WHEN h < 64 THEN 'too_short'
     WHEN CAST(greatest(w, h) AS DOUBLE) / CAST(least(w, h) AS DOUBLE) > 4.0

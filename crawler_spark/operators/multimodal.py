@@ -304,19 +304,28 @@ def image_quality_filter(
 
     Returns (image_id, w, h, n_bytes, caption_len, bpp_e4, verdict)
     where bpp_e4 = floor(bytes-per-pixel × 10⁴) (integer so exactness
-    survives engine round-trips) and verdict ∈ {keep, too_narrow,
-    too_short, extreme_aspect, low_entropy, suspicious_size,
-    caption_too_short}.
+    survives engine round-trips) and verdict ∈ {keep, bad_dims,
+    too_narrow, too_short, extreme_aspect, low_entropy,
+    suspicious_size, caption_too_short}.
     """
-    px = (F.col("w").cast("long") * F.col("h")).alias("px")
     n_bytes = F.octet_length("bytes")
-    bpp = n_bytes / (F.col("w").cast("long") * F.col("h"))
+    # try_divide: a zero-pixel row must reach the bad_dims verdict, not
+    # raise DIVIDE_BY_ZERO under ANSI mode (bpp_e4 reports NULL for it)
+    bpp = F.try_divide(n_bytes, F.col("w").cast("long") * F.col("h"))
     aspect_num = F.greatest(F.col("w"), F.col("h")).cast("double")
     aspect_den = F.least(F.col("w"), F.col("h")).cast("double")
     # NULL caption must reject, not slip through a null CASE branch
     cap_len = F.length(F.trim(F.coalesce(F.col("caption"), F.lit(""))))
+    # NULL/non-positive dims must reject too: NULL comparisons are NULL,
+    # so without this leading branch a missing-metadata row would fall
+    # through every rule into otherwise('keep')
+    bad_dims = (
+        F.col("w").isNull() | F.col("h").isNull()
+        | (F.col("w") <= 0) | (F.col("h") <= 0)
+    )
     verdict = (
-        F.when(F.col("w") < min_w, F.lit("too_narrow"))
+        F.when(bad_dims, F.lit("bad_dims"))
+        .when(F.col("w") < min_w, F.lit("too_narrow"))
         .when(F.col("h") < min_h, F.lit("too_short"))
         .when(aspect_num / aspect_den > max_aspect, F.lit("extreme_aspect"))
         .when(bpp < min_bpp, F.lit("low_entropy"))
@@ -350,7 +359,10 @@ def caption_dedup_best(payload: DataFrame, *, caption_norm=None) -> DataFrame:
     Returns (caption_key, n_copies, keep_image_id, keep_pixels).
     """
     ck = caption_norm if caption_norm is not None else F.lower(F.trim(F.col("caption")))
-    px = F.col("w").cast("long") * F.col("h")
+    # coalesce px to 0: struct-min sorts NULL fields FIRST, so a NULL-dim
+    # copy would otherwise beat every real resolution (and diverge from a
+    # SQL oracle's ORDER BY px DESC, which puts NULLs last)
+    px = F.coalesce(F.col("w").cast("long") * F.col("h"), F.lit(0).cast("long"))
     return (
         payload.select(ck.alias("caption_key"), "image_id", px.alias("px"))
         .groupBy("caption_key")

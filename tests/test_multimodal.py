@@ -174,6 +174,54 @@ def test_image_quality_filter(spark):
     assert "Python" not in plan and "ArrowEval" not in plan
 
 
+def test_image_quality_null_dims(spark):
+    """NULL or non-positive w/h must REJECT (bad_dims), not slip through
+    the CASE into keep (NULL comparisons are NULL, so every other branch
+    is skipped for missing metadata) — ADVICE r3."""
+    from crawler_spark.operators.multimodal import image_quality_filter
+
+    df = spark.createDataFrame(
+        [
+            ("null_w", None, 480, "a fine caption of adequate length"),
+            ("null_h", 640, None, "a fine caption of adequate length"),
+            ("zero_w", 0, 480, "a fine caption of adequate length"),
+            ("neg_h", 640, -3, "a fine caption of adequate length"),
+            ("fine", 640, 480, "a fine caption of adequate length"),
+        ],
+        "image_id string, w int, h int, caption string",
+    ).withColumn("bytes", F.encode(F.lit("x" * 64), "utf-8").cast("binary"))
+    got = {r["image_id"]: r["verdict"] for r in image_quality_filter(df).collect()}
+    assert got["null_w"] == "bad_dims"
+    assert got["null_h"] == "bad_dims"
+    assert got["zero_w"] == "bad_dims"
+    assert got["neg_h"] == "bad_dims"
+    assert got["fine"] != "bad_dims"
+
+
+def test_caption_dedup_null_px(spark):
+    """A NULL-dim copy must NOT win the argmax: struct-min sorts NULL
+    fields first, so without the px coalesce the broken copy would beat
+    every real resolution (and diverge from a SQL oracle's ORDER BY px
+    DESC NULLS LAST) — ADVICE r3."""
+    from crawler_spark.operators.multimodal import caption_dedup_best
+
+    df = spark.createDataFrame(
+        [
+            ("img_nulldim", None, None, "sunset"),
+            ("img_real", 200, 200, "sunset"),
+            # all-copies-null group: falls back to px=0, id tie-break
+            ("img_n2", None, 5, "beach"),
+            ("img_n1", 5, None, "beach"),
+        ],
+        "image_id string, w int, h int, caption string",
+    )
+    got = {r["caption_key"]: r for r in caption_dedup_best(df).collect()}
+    assert got["sunset"]["keep_image_id"] == "img_real"
+    assert got["sunset"]["keep_pixels"] == 40_000
+    assert got["beach"]["keep_image_id"] == "img_n1"  # id tie-break at px=0
+    assert got["beach"]["keep_pixels"] == 0
+
+
 def test_caption_dedup_best(spark):
     from crawler_spark.operators.multimodal import caption_dedup_best
 

@@ -31,7 +31,11 @@ Design for 100 TB:
   * the edge table is symmetrized + deduped ONCE and persisted; every
     round reuses it (and its shuffle partitioning).
   * labels are localCheckpoint'd per round to truncate the iterative
-    lineage (the same superstep discipline as the crawl engine).
+    lineage, and the PREVIOUS round's checkpoint blocks are released as
+    soon as the new generation materializes (the same superstep
+    discipline as the crawl engine — see state/ckpt.py; labels are
+    |nodes|-scale, so letting O(log d) generations pile up in executor
+    storage until a JVM GC is a real cost at 10^10 nodes).
   * the only driver round-trip is one scalar aggregate per round for
     the convergence test (labels only decrease, so an unchanged
     checksum of sum(comp) == fixpoint) — O(log d) scalar actions for
@@ -43,6 +47,8 @@ from __future__ import annotations
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from crawler_spark.state.ckpt import release_checkpoint
 
 
 def connected_components(
@@ -103,6 +109,11 @@ def connected_components(
             .localCheckpoint()
         )
         cur_sum = l2.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
+        # l2 is materialized (eager checkpoint + the sum action): the
+        # previous generation's node-scale blocks can be freed NOW
+        # instead of waiting for a JVM GC — storage stays at one
+        # generation across the whole O(log d) loop
+        release_checkpoint(labels)
         labels = l2
         if cur_sum == prev_sum:
             sym.unpersist()

@@ -49,6 +49,7 @@ from crawler_spark.config import CrawlPolicy
 from crawler_spark.functions.urlnorm import canonicalize_udf, resolve_links_udf
 from crawler_spark.operators.ordering import prio_col, with_emit_order
 from crawler_spark.operators.selection import admit_hosts, select_batch
+from crawler_spark.state.ckpt import release_checkpoint
 from crawler_spark.state.snapshot import SnapshotStore
 
 FRONTIER_SCHEMA = StructType([
@@ -157,24 +158,9 @@ def _checkpoint(df: DataFrame) -> DataFrame:
     return out
 
 
-def _release_checkpoint(df: Optional[DataFrame]) -> None:
-    """Free the blocks of a ``_checkpoint``'ed DataFrame.
-
-    The checkpoint's persisted RDD is only reclaimed by ContextCleaner
-    after a JVM GC; an iterative loop that re-checkpoints state every
-    step must release the previous generation explicitly or the
-    driver/executor heap fills with dead checkpoint + broadcast blocks.
-    """
-    if df is None:
-        return
-    aux = getattr(df, "_ckpt_aux", None)
-    if aux is not None and aux is not df:
-        _release_checkpoint(aux)
-    src = getattr(df, "_ckpt_source", df)
-    try:
-        src._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    except Exception:
-        pass  # plan is not a LogicalRDD (never checkpointed) — nothing to free
+# free the blocks of a _checkpoint'ed DataFrame — shared with the other
+# iterative loops (connected_components); see state/ckpt.py for why
+_release_checkpoint = release_checkpoint
 
 
 def tag_cancelled(

@@ -49,6 +49,27 @@ def test_path_graph_converges_logarithmically(spark):
     assert all(r.component == 0 for r in rows)
 
 
+def test_checkpoint_blocks_released_per_round(spark):
+    """The label-propagation loop checkpoints |nodes|-scale labels every
+    round; each round must RELEASE its predecessor's blocks (VERDICT r3
+    #2) — otherwise an O(log d) loop leaves up to ~20 node-scale RDD
+    generations persisted until a JVM GC. A 300-node path runs ~9-12
+    rounds, so the persisted-RDD count after the call must sit within a
+    small constant of the count before it (final labels + the persisted
+    edge frame's bookkeeping), not grow per round."""
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    edges = [(i, i + 1) for i in range(299)]
+    df = spark.createDataFrame(edges, "id_a: long, id_b: long")
+    out = connected_components(df, max_iter=12)
+    assert out.count() == 300
+    after = jsc.getPersistentRDDs().size()
+    # without per-round release this is before + n_rounds (~10+); with it
+    # only the final labels checkpoint survives (plus nothing else: sym
+    # is unpersisted on return)
+    assert after - before <= 2, f"checkpoint leak: {before} -> {after} persisted RDDs"
+
+
 def test_random_graph_matches_union_find(spark):
     rng = random.Random(1234)
     # 40 blocks of sparse edges -> many non-trivial components

@@ -381,8 +381,11 @@ def q_ann_srp_topk(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     qrow = emb.orderBy("vec_id").select("embedding").first()
+    # ntables/nprobe pinned to 1/1: the oracle recomputes exactly ONE
+    # md5-parity table in SQL (the operator's production default is the
+    # auto-derived 8/8 OR-construction — similarity.ann_topk_srp)
     res = ann_topk_srp(emb, "vec_id", "embedding", list(qrow["embedding"]), 10,
-                       bits=6, bucket_hash="md5")
+                       bits=6, bucket_hash="md5", nprobe=1, ntables=1)
     return res.select(F.col("id").alias("vec_id"), F.round("score", 4).alias("score"))
 
 

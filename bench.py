@@ -169,7 +169,9 @@ def _recall_metrics(spark) -> dict:
     import numpy as np
 
     from crawler_spark.operators.dedup import embedding_near_dups
-    from crawler_spark.operators.similarity import ann_topk_srp, cosine_topk, ivf_topk
+    from crawler_spark.operators.similarity import (
+        ann_topk_srp, cosine_topk, ivf_topk, srp_candidates,
+    )
 
     rng = np.random.default_rng(7)
     base = rng.normal(size=(100, 64))
@@ -197,28 +199,31 @@ def _recall_metrics(spark) -> dict:
     srp_neardup = round(len(found & truth) / max(1, len(truth)), 4)
 
     bench_emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    n_corpus = bench_emb.count()
     q = list(bench_emb.orderBy("vec_id").first()["embedding"])
     exact = [r["id"] for r in cosine_topk(bench_emb, "vec_id", "embedding", q, 10).collect()]
-    srp1 = [r["id"] for r in ann_topk_srp(bench_emb, "vec_id", "embedding", q, 10).collect()]
-    srp8 = [
-        r["id"]
-        for r in ann_topk_srp(bench_emb, "vec_id", "embedding", q, 10, nprobe=8).collect()
+    # DEFAULT path (auto-derived ntables/nprobe = bits, i.e. 8/8): the
+    # headline number — a bare ann_topk_srp call must clear 0.8
+    # recall@10 at ≤~25% candidate fraction on this uniform
+    # (LSH-adversarial) corpus
+    srp_def = [
+        r["id"] for r in ann_topk_srp(bench_emb, "vec_id", "embedding", q, 10).collect()
     ]
-    # tuned OR-construction operating point (ntables×nprobe = candidate
-    # fraction ≤ ~25% of a uniform corpus — the LSH-adversarial case;
-    # planted-neighbor corpora recall ~1.0, see srp_neardup above)
-    srp_t8 = [
+    n_cand = srp_candidates(bench_emb, "vec_id", "embedding", q).count()
+    # explicit cheap single-table point kept for comparison (the old
+    # default — a recall lottery on uniform data)
+    srp1 = [
         r["id"]
         for r in ann_topk_srp(
-            bench_emb, "vec_id", "embedding", q, 10, nprobe=8, ntables=8
+            bench_emb, "vec_id", "embedding", q, 10, nprobe=1, ntables=1
         ).collect()
     ]
     ivf = [r["id"] for r in ivf_topk(bench_emb, "vec_id", "embedding", q, 10).collect()]
     return {
         "srp_neardup_recall@0.95": srp_neardup,
-        "ann_srp_recall@10": round(len(set(srp1) & set(exact)) / 10, 2),
-        "ann_srp_nprobe8_recall@10": round(len(set(srp8) & set(exact)) / 10, 2),
-        "ann_srp_8tables_recall@10": round(len(set(srp_t8) & set(exact)) / 10, 2),
+        "ann_srp_recall@10": round(len(set(srp_def) & set(exact)) / 10, 2),
+        "ann_srp_candidate_fraction": round(n_cand / max(1, n_corpus), 4),
+        "ann_srp_1table_recall@10": round(len(set(srp1) & set(exact)) / 10, 2),
         "ann_ivf_recall@10": round(len(set(ivf) & set(exact)) / 10, 2),
     }
 

@@ -327,8 +327,9 @@ def ann_topk_srp(
     bits: int = 8,
     seed: int = 42,
     bucket_hash: str = "xxhash64",
-    nprobe: int = 1,
-    ntables: int = 1,
+    nprobe: int | None = None,
+    ntables: int | None = None,
+    _candidates_only: bool = False,
 ) -> DataFrame:
     """Approximate top-k: score only rows in the query's SRP bucket(s).
 
@@ -349,6 +350,14 @@ def ann_topk_srp(
       that rescues recall when per-table p is small. The near-dup
       operator (embedding_near_dups) uses the same construction.
 
+    ``nprobe``/``ntables`` DEFAULT to ``bits`` each (8/8 at the default
+    8 bits) — the measured ≥0.8-recall@10 operating point on a uniform
+    (LSH-adversarial) corpus at ≤~25% candidate fraction. A bare
+    single-table single-probe call is a recall lottery on uniform data
+    (measured 0.1-0.2); callers wanting that cheaper point must ask for
+    it explicitly. More bits shrink buckets, so scaling L and the probe
+    count with ``bits`` keeps the candidate fraction roughly flat.
+
     All query-side projections (ntables × bits) cost ONE scalar Spark
     job. Returns (id, score).
 
@@ -361,6 +370,10 @@ def ann_topk_srp(
 
     import numpy as np
 
+    if ntables is None:
+        ntables = bits
+    if nprobe is None:
+        nprobe = bits
     seeds = [seed + 7919 * t for t in range(max(1, ntables))]
     un = unit_norm(F.col(vec_col))
     vraw = F.transform(F.col(vec_col), lambda x: x.cast("double"))
@@ -441,9 +454,27 @@ def ann_topk_srp(
             probes = [base ^ sum(1 << i for i in s) for _, s in scored]
         c = F.col(f"bucket{t}" if t else "bucket").isin([int(p) for p in probes])
         cond = c if cond is None else (cond | c)
+    cand = e.where(cond)
+    if _candidates_only:
+        return cand.select("id", "v")
     return (
-        e.where(cond)
-        .select("id", dot(F.col("v"), q).alias("score"))
+        cand.select("id", dot(F.col("v"), q).alias("score"))
         .orderBy(F.col("score").desc(), F.col("id").asc())
         .limit(k)
+    )
+
+
+def srp_candidates(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    **kwargs,
+) -> DataFrame:
+    """The (id, unit-vector) candidate set ``ann_topk_srp`` would score
+    for this query — the measurement seam for candidate fraction
+    (|candidates| / |corpus|), which bounds the operator's work at any
+    scale. Same knobs/defaults as ``ann_topk_srp``."""
+    return ann_topk_srp(
+        emb, id_col, vec_col, query_vec, _candidates_only=True, **kwargs
     )

@@ -300,8 +300,14 @@ def test_srp_multiprobe_improves_recall(spark):
     q = rows[0][1]  # query = b00; its 4 jitters are the true neighbours
 
     exact = [r["id"] for r in cosine_topk(emb, "id", "embedding", q, 5).collect()]
-    r1 = [r["id"] for r in ann_topk_srp(emb, "id", "embedding", q, 5, nprobe=1).collect()]
-    r4 = [r["id"] for r in ann_topk_srp(emb, "id", "embedding", q, 5, nprobe=4).collect()]
+    r1 = [
+        r["id"]
+        for r in ann_topk_srp(emb, "id", "embedding", q, 5, nprobe=1, ntables=1).collect()
+    ]
+    r4 = [
+        r["id"]
+        for r in ann_topk_srp(emb, "id", "embedding", q, 5, nprobe=4, ntables=1).collect()
+    ]
     rec1 = len(set(r1) & set(exact)) / 5
     rec4 = len(set(r4) & set(exact)) / 5
     assert rec4 >= rec1
@@ -357,7 +363,9 @@ def test_srp_multi_table_recall(spark):
         exact = [r["id"] for r in cosine_topk(emb, "id", "embedding", q, 10).collect()]
         r1 = [
             r["id"]
-            for r in ann_topk_srp(emb, "id", "embedding", q, 10, nprobe=8).collect()
+            for r in ann_topk_srp(
+                emb, "id", "embedding", q, 10, nprobe=8, ntables=1
+            ).collect()
         ]
         r8 = [
             r["id"]
@@ -372,3 +380,54 @@ def test_srp_multi_table_recall(spark):
     assert rec8 >= rec1
     assert rec8 >= 0.5, f"8-table OR-construction recall {rec8} too low ({recs8})"
     emb.unpersist()
+
+
+def test_srp_default_operating_point(spark):
+    """A BARE ann_topk_srp call must not be a recall lottery (VERDICT r3
+    #3): the auto-derived defaults (ntables = nprobe = bits, i.e. 8/8)
+    must (a) clear 0.5 mean recall@10 even on a UNIFORM random corpus —
+    the LSH-adversarial worst case, where true top-10 cosines are ~0.4
+    and the old 1/1 default measured 0.1-0.2 — while scanning ≤ ~35% of
+    it (candidate fraction, the work bound), and (b) clear 0.8 recall@5
+    on a corpus with planted near-neighbour structure (the actual dedup
+    workload shape). The driver bench asserts the ≥0.8 @ ≤~25% point on
+    the sf embeddings table per round."""
+    import numpy as np
+
+    from crawler_spark.operators.similarity import (
+        ann_topk_srp, cosine_topk, srp_candidates,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = [(f"v{i:04d}", [float(x) for x in rng.normal(size=64)]) for i in range(2000)]
+    emb = spark.createDataFrame(rows, "id string, embedding array<double>").cache()
+    recs, fracs = [], []
+    for qi in (7, 191, 1203):
+        q = rows[qi][1]
+        exact = [r["id"] for r in cosine_topk(emb, "id", "embedding", q, 10).collect()]
+        got = [r["id"] for r in ann_topk_srp(emb, "id", "embedding", q, 10).collect()]
+        recs.append(len(set(got) & set(exact)) / 10)
+        fracs.append(srp_candidates(emb, "id", "embedding", q).count() / 2000)
+    emb.unpersist()
+    rec = sum(recs) / len(recs)
+    frac = sum(fracs) / len(fracs)
+    assert rec >= 0.5, f"default-path uniform recall {rec} too low ({recs})"
+    assert frac <= 0.35, f"default-path candidate fraction {frac} too high ({fracs})"
+
+    # planted structure: 40 bases × 4 jittered copies at cosine ≈ 0.97
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(40, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    prows = []
+    for i in range(40):
+        prows.append((f"b{i:02d}", [float(x) for x in base[i]]))
+        for j in range(4):
+            v2 = base[i] + 0.03 * rng.normal(size=64)
+            v2 /= np.linalg.norm(v2)
+            prows.append((f"d{i:02d}_{j}", [float(x) for x in v2]))
+    pemb = spark.createDataFrame(prows, "id string, embedding array<double>")
+    q = prows[0][1]
+    exact = [r["id"] for r in cosine_topk(pemb, "id", "embedding", q, 5).collect()]
+    got = [r["id"] for r in ann_topk_srp(pemb, "id", "embedding", q, 5).collect()]
+    prec = len(set(got) & set(exact)) / 5
+    assert prec >= 0.8, f"default-path planted recall {prec} too low"

@@ -49,6 +49,9 @@ def topk_global(frontier: DataFrame, k: int) -> DataFrame:
     return frontier.orderBy(*frontier_order()).limit(k)
 
 
+_EMIT_ORDER_COLS = ["step", "emit_ms", "prio", "seq"]
+
+
 def with_emit_order(emitted: DataFrame) -> DataFrame:
     """Assign the final crawl-order ordinal over the emitted log.
 
@@ -60,6 +63,58 @@ def with_emit_order(emitted: DataFrame) -> DataFrame:
     order (emit_ms, prio, seq) alone would retro-sort it ahead of pops
     that factually preceded it. Within a step the disk order is the pop
     order; across steps e_min (and fast-mode emit ranges) never
-    decrease, so the composite key is consistent in every mode."""
-    w = Window.orderBy(F.col("step").asc(), *emit_order())
+    decrease, so the composite key is consistent in every mode.
+
+    DISTRIBUTED assignment (no global window): a frontier row pops at
+    most once, so ``seq`` is unique across the emitted log and the key
+    is a strict total order — which means a global
+    ``row_number() OVER (ORDER BY …)`` (one task sorting the ENTIRE
+    crawl history — the reference never needs this serially because its
+    disk-heap key encoding IS this order, diskheap.go:25-44) can be
+    replaced value-for-value by range-partition + per-partition prefix
+    offsets: range-partition on the key, sort within partitions,
+    count rows per partition (scalar metadata — the only driver data),
+    convert to exclusive prefix offsets, and add them to per-partition
+    row numbers. The partitioned frame is checkpointed so the count
+    pass and the numbering pass see the same layout; at scale that
+    materialization is disk-backed and linear, vs. the window form's
+    single-task sort of the whole log. Equality with the window form is
+    pinned by tests/test_selection.py::test_emit_order_offset_matches_window
+    and by every crawl-order-exact E2E."""
+    spark = emitted.sparkSession
+    keys = [F.col(c).asc() for c in _EMIT_ORDER_COLS]
+    n = max(2, spark.sparkContext.defaultParallelism)
+    d = (
+        emitted.repartitionByRange(n, *keys)
+        .sortWithinPartitions(*keys)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = {
+        r["_pid"]: r["n"]
+        for r in d.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    }
+    offs, acc = [], 0
+    for pid in sorted(counts):
+        offs.append((pid, acc))
+        acc += counts[pid]
+    if not offs:
+        offs = [(0, 0)]
+    offs_df = spark.createDataFrame(offs, "_pid int, _off long")
+    w = Window.partitionBy("_pid").orderBy(*keys)
+    out = (
+        d.join(F.broadcast(offs_df), "_pid")
+        .withColumn("emit_ord", (F.row_number().over(w) - 1 + F.col("_off")).cast("int"))
+        .drop("_pid", "_off")
+    )
+    out._ckpt_aux = d  # release handle for the partitioned materialization
+    return out
+
+
+def with_emit_order_window(emitted: DataFrame) -> DataFrame:
+    """The single-window reference form of ``with_emit_order`` — kept
+    ONLY as the equality oracle for the distributed assignment (it plans
+    a `WindowExec: No Partition Defined` single-task sort, which is the
+    scale defect the offset form removes). Not used on engine paths."""
+    w = Window.orderBy(*[F.col(c).asc() for c in _EMIT_ORDER_COLS])
     return emitted.withColumn("emit_ord", F.row_number().over(w) - F.lit(1))

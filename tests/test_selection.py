@@ -164,3 +164,45 @@ def test_deferred_selection_equals_eager(spark):
     got_d = sorted(tuple(r) for r in deferred.selected.drop("rn").collect())
     deferred.release()
     assert got_e == got_d and len(got_e) > 0
+
+
+def test_emit_order_offset_matches_window(spark):
+    """The distributed emit_ord assignment (range-partition + prefix
+    offsets) must equal the single-window reference form value-for-value
+    (VERDICT r3 #1), and its plan must contain NO unpartitioned window
+    (every windowspec is keyed on the range partition id)."""
+    import random as rnd
+
+    from crawler_spark.operators.ordering import (
+        with_emit_order, with_emit_order_window,
+    )
+
+    r = rnd.Random(42)
+    rows = []
+    seq = 0
+    for step in range(6):
+        for _ in range(250):
+            # heavy ties in emit_ms and prio force the tie-break through
+            # seq; steps overlap in emit_ms to exercise the step-first key
+            rows.append((step, 1000 + r.randrange(9), r.randrange(3), seq))
+            seq += 1
+    r.shuffle(rows)
+    df = spark.createDataFrame(rows, "step int, emit_ms long, prio int, seq long")
+    want = {r_["seq"]: r_["emit_ord"] for r_ in with_emit_order_window(df).collect()}
+    out = with_emit_order(df)
+    got = {r_["seq"]: r_["emit_ord"] for r_ in out.collect()}
+    assert got == want
+    # ordinal is dense 0..n-1
+    assert sorted(got.values()) == list(range(len(rows)))
+    # plan hygiene: the only window is partitioned by the range-partition
+    # id — no "No Partition Defined" single-task sort anywhere
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(_pid" in plan
+    import re
+
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert m.group(1).lstrip().startswith("_pid"), plan
+
+    # empty log: schema intact, zero rows
+    empty = df.where("step < 0")
+    assert with_emit_order(empty).count() == 0

@@ -1019,6 +1019,76 @@ FROM r WHERE rn = 1
 """
 
 
+def q_corpus_canonical(spark, sf_dir):
+    """The end-to-end corpus pipeline (plans/corpus.py): payload →
+    image_quality_filter → caption_dedup_best → phash Hamming≤6 pairs →
+    connected components → canonical corpus. One composed entry — the
+    face a training-data user actually runs; every stage is also
+    oracle-checked standalone (image_quality, caption_dedup_best,
+    phash_near_dups, image_dup_groups). The oracle re-derives the whole
+    chain in SQL: the keep gate as a boolean conjunction (equivalent to
+    the first-match CASE because 'keep' = no rule fired), the best-copy
+    argmax as a window, the clustering as a recursive-CTE closure."""
+    from crawler_spark.plans.corpus import canonical_image_corpus
+
+    d = _t(spark, sf_dir, "documents")
+    payload = d.select(
+        F.col("doc_id").alias("image_id"),
+        F.encode(
+            F.expr("repeat('x', CAST(doc_id % 100 AS INT) * 100 + 100)"), "utf-8"
+        ).alias("bytes"),
+        ((F.col("doc_id") % 97) + 64).cast("int").alias("w"),
+        ((F.col("doc_id") % 211) + 64).cast("int").alias("h"),
+        F.lit("png").alias("fmt"),
+        F.concat(F.lit("Caption "), (F.col("doc_id") % 137).cast("string")).alias("caption"),
+        F.expr(_phash_sql_expr("spark")).alias("phash"),
+    )
+    return canonical_image_corpus(payload)
+
+
+def _corpus_canonical_sql() -> str:
+    return f"""
+WITH RECURSIVE payload AS (
+  SELECT doc_id AS image_id,
+         CAST(doc_id % 100 AS INT) * 100 + 100 AS n_bytes,
+         CAST(doc_id % 97 + 64 AS INT) AS w,
+         CAST(doc_id % 211 + 64 AS INT) AS h,
+         'Caption ' || (doc_id % 137) AS caption,
+         {_phash_sql_expr('duck')} AS phash
+  FROM documents
+), keeps AS (
+  SELECT * FROM payload
+  WHERE w >= 64 AND h >= 64
+    AND CAST(greatest(w, h) AS DOUBLE) / CAST(least(w, h) AS DOUBLE) <= 4.0
+    AND n_bytes / (CAST(w AS BIGINT) * h) >= 0.05
+    AND n_bytes / (CAST(w AS BIGINT) * h) <= 20.0
+    AND length(trim(caption)) >= 8
+), best AS (
+  SELECT image_id FROM (
+    SELECT image_id,
+           row_number() OVER (PARTITION BY lower(trim(caption))
+                              ORDER BY CAST(w AS BIGINT) * h DESC, image_id) AS rn
+    FROM keeps) WHERE rn = 1
+), kc AS (
+  SELECT p.* FROM keeps p JOIN best USING (image_id)
+), p2 AS (
+  SELECT a.image_id AS u, b.image_id AS v FROM kc a JOIN kc b
+  ON a.image_id < b.image_id AND bit_count(xor(a.phash, b.phash)) <= 6
+), ed AS (
+  SELECT u, v FROM p2 UNION SELECT v, u FROM p2
+), r AS (
+  SELECT u, u AS m FROM (SELECT DISTINCT u FROM ed)
+  UNION SELECT e.v AS u, r.m FROM r JOIN ed e ON e.u = r.u
+), comp AS (
+  SELECT u AS id, min(m) AS component FROM r GROUP BY u
+)
+SELECT image_id, lower(trim(caption)) AS caption_key,
+       CAST(w AS BIGINT) * h AS px
+FROM kc
+WHERE image_id NOT IN (SELECT id FROM comp WHERE id <> component)
+"""
+
+
 # robots_gate fixture: rule table exercising every RFC 9309 feature the
 # production gate implements ('*' wildcards, terminal-'$' anchor,
 # Allow-wins-ties, longest-match precedence, no-rules default-allow)
@@ -1199,6 +1269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dup_groups": q_image_dup_groups,
         "image_quality": q_image_quality,
         "caption_dedup_best": q_caption_dedup_best,
+        "corpus_canonical": q_corpus_canonical,
         "robots_gate": q_robots_gate,
         "extract_links": q_extract_links,
         "crawl_bfs": q_crawl_bfs,
@@ -1770,6 +1841,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "image_quality": _IMAGE_QUALITY_SQL,
         "caption_dedup_best": _CAPTION_DEDUP_SQL,
+        "corpus_canonical": _corpus_canonical_sql(),
         "robots_gate": _robots_gate_oracle_sql(),
         "extract_links": _EXTRACT_LINKS_SQL,
         "cache_route": (

@@ -1,0 +1,73 @@
+"""The end-to-end image-corpus pipeline a training-data user actually
+runs: raw image+caption payload → metadata quality gate → best-copy
+caption dedup → perceptual-hash near-dup clustering → canonical corpus.
+
+This is the composition face of the individual operators (each of which
+is oracle-checked standalone): the reference's serial analog is the
+fetch handler chain that gates bodies by size/type and folds each new
+fingerprint into its nearest BK-tree cluster one document at a time
+(/root/reference/crawler.go:35-49 config gates;
+/root/reference/sample/fingerprint + sample/bktree controller); here
+every stage is a distributed batch operator over the
+BASELINE.json input_hint payload shape
+(image_id, bytes, w, h, fmt, caption, phash).
+
+Scale story (all stages inherit their operators' plans):
+  * quality gate — pure JVM column CASE, bytes only reach octet_length;
+  * caption dedup — ONE partial-aggregated groupBy (struct-min argmax);
+  * survivor joins — semi/anti joins on image_id, broadcastable when
+    the survivor id set is small, shuffle-hash otherwise (Spark picks);
+  * phash pairs — pigeonhole-blocked Hamming join, never all-pairs;
+  * clustering — O(log d) label propagation, one generation of
+    checkpoint blocks live at a time (state/ckpt.py release);
+  * final keep — one anti-join against the |pairs|-scale drop set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def canonical_image_corpus(
+    payload: DataFrame,
+    *,
+    radius: int = 6,
+    quality_kwargs: dict | None = None,
+) -> DataFrame:
+    """Canonical (kept) rows of an image+caption corpus.
+
+    Stages: (1) reject rows failing the metadata quality gate
+    (image_quality_filter verdict != 'keep'); (2) keep only the best
+    copy per exact caption (caption_dedup_best winners); (3) cluster
+    the survivors' perceptual hashes at Hamming ≤ ``radius`` and keep
+    the minimum-id member per cluster (canonical_docs).
+
+    Returns (image_id, caption_key, px) — one row per canonical image.
+    Deterministic; every tie-break is by image_id. ``image_id`` must be
+    integral (the clustering stage labels nodes by id — a string-keyed
+    corpus should carry a surrogate long id, e.g. ``xxhash64(image_id)``
+    checked for collisions or a dense id from the ingest path).
+    """
+    from crawler_spark.operators.components import canonical_docs
+    from crawler_spark.operators.multimodal import (
+        caption_dedup_best, image_quality_filter, phash_near_dups,
+    )
+
+    keeps = (
+        image_quality_filter(payload, **(quality_kwargs or {}))
+        .where(F.col("verdict") == "keep")
+        .select("image_id")
+    )
+    gated = payload.join(keeps, "image_id", "left_semi")
+    best = caption_dedup_best(gated).select(
+        F.col("keep_image_id").alias("image_id")
+    )
+    survivors = gated.join(best, "image_id", "left_semi")
+    pairs = phash_near_dups(survivors, radius=radius)
+    kept = canonical_docs(survivors, pairs, "image_id")
+    return kept.select(
+        "image_id",
+        F.lower(F.trim(F.col("caption"))).alias("caption_key"),
+        (F.col("w").cast("long") * F.col("h")).alias("px"),
+    )

@@ -174,6 +174,34 @@ def test_image_quality_filter(spark):
     assert "Python" not in plan and "ArrowEval" not in plan
 
 
+def test_canonical_image_corpus_pipeline(spark):
+    """plans/corpus.canonical_image_corpus: every stage must bite —
+    the quality gate drops a row BEFORE it can form a phash pair, the
+    caption dedup keeps only the best copy, the clustering keeps the
+    min-id member of a Hamming-≤6 cluster."""
+    from crawler_spark.plans.corpus import canonical_image_corpus
+
+    blob = bytearray(b"x" * 5000)
+    rows = [
+        # (id, bytes, w, h, caption, phash)
+        (1, blob, 100, 100, "Sunset One", 0xF0F0F0F0),      # loses caption dedup to 2
+        (2, blob, 200, 200, "sunset one", 0),               # caption winner; cluster rep
+        (3, blob, 8, 100, "tiny image row", 1),             # gate-rejected (too_narrow)
+        #   ^ phash 1 is within Hamming 1 of row 2 — must NOT pair (gated out first)
+        (4, blob, 100, 100, "fourth caption", 3),           # clusters with 2 (Hamming 2) → dropped
+        (5, blob, 100, 100, "fifth caption", 0xFFFF0000),   # untouched survivor
+    ]
+    payload = spark.createDataFrame(
+        [(i, bytes(b), w, h, "png", c, p) for i, b, w, h, c, p in rows],
+        "image_id long, bytes binary, w int, h int, fmt string, caption string, phash long",
+    )
+    got = {r["image_id"]: r for r in canonical_image_corpus(payload).collect()}
+    assert set(got) == {2, 5}
+    assert got[2]["caption_key"] == "sunset one"
+    assert got[2]["px"] == 40_000
+    assert got[5]["caption_key"] == "fifth caption"
+
+
 def test_image_quality_null_dims(spark):
     """NULL or non-positive w/h must REJECT (bad_dims), not slip through
     the CASE into keep (NULL comparisons are NULL, so every other branch

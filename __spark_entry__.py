@@ -840,6 +840,53 @@ def q_crawl_bfs(spark, sf_dir):
     return res.emitted.select("emit_ord", "url", "depth", "status", "outcome").orderBy("emit_ord")
 
 
+def q_crawl_html(spark, sf_dir):
+    """The whole-crawl entry in HTML MODE (VERDICT r3 #4): the same
+    derived web as crawl_bfs, but pages carry rendered HTML BODIES and
+    no pre-extracted links — the engine tokenizes each popped body with
+    the real extractor (functions/extract) at fetch time, same-host
+    hrefs rendered RELATIVE so resolution earns its keep. Links render
+    in sorted-target order (the order _derived_web's arrays carry), so
+    the DuckDB oracle is the same arithmetic BFS re-derivation as
+    crawl_bfs — the SQL independently recomputes every link the parser
+    must find."""
+    import tempfile
+
+    from crawler_spark.config import CrawlPolicy
+    from crawler_spark.plans.crawl import CrawlEngine
+
+    web, seeds = _derived_web(spark, sf_dir)
+    pre = F.concat(F.lit("http://"), F.col("host_key"), F.lit("/e/"))
+    html = F.concat(
+        F.lit("<html><head><title>t</title></head><body>"),
+        F.array_join(
+            F.transform(
+                "out_links",
+                lambda l: F.concat(
+                    F.lit('<a href="'),
+                    F.when(
+                        l.startswith(pre),
+                        l.substr(F.length(pre) + F.lit(1), F.length(l)),
+                    ).otherwise(l),
+                    F.lit('">x</a>'),
+                ),
+            ),
+            "",
+        ),
+        F.lit("<script>var u='not a link';</script></body></html>"),
+    )
+    web_html = web.select("url", "host_key", "status", html.alias("html"), "redirect_to")
+    policy = CrawlPolicy(max_depth=4, max_retry=1, obey_robots=False)
+    eng = CrawlEngine(
+        spark, web_html, policy=policy,
+        workdir=tempfile.mkdtemp(prefix="crawl_html_entry_"),
+        max_pops=60,
+    )
+    assert eng.html_mode
+    res = eng.run(seeds)
+    return res.emitted.select("emit_ord", "url", "depth", "status", "outcome").orderBy("emit_ord")
+
+
 def _phash_sql_expr(dialect: str) -> str:
     """60-bit deterministic perceptual-hash stand-in, expressible in both
     Spark SQL and DuckDB so the oracle recomputes it independently:
@@ -1273,6 +1320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_gate": q_robots_gate,
         "extract_links": q_extract_links,
         "crawl_bfs": q_crawl_bfs,
+        "crawl_html": q_crawl_html,
     }
 
 
@@ -1859,4 +1907,7 @@ def oracle_sql() -> dict[str, str]:
         # additionally checksum-matched against the serial oracle in
         # tests/test_crawl_e2e.py::test_entry_bfs_checksum.
         "crawl_bfs": _crawl_bfs_oracle_sql(),
+        # html-mode whole-crawl: the SQL re-derives every link arithmetically
+        # (the same BFS oracle) — the entry must re-FIND them by parsing HTML
+        "crawl_html": _crawl_bfs_oracle_sql(),
     }

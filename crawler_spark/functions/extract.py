@@ -120,6 +120,29 @@ def extractor_udf(positions=DEFAULT_POS, sniff_flags: int = 0):
     return _extract
 
 
+def href_urls_udf(positions=DEFAULT_POS, sniff_flags: int = 0):
+    """(base_url, html) columns → array<string> of RESOLVED canonical
+    link URLs in document order, unparsable refs dropped (the reference
+    handler skips url.Parse failures the same way, handle.go:105-107).
+
+    This is the engine's html-mode fetch seam: when the web carries raw
+    bodies instead of pre-extracted ``out_links``, each popped page is
+    tokenized by the REAL extractor (incl. <base> rebasing) inside one
+    Arrow batch per fetch — the batch phrasing of handle.go:63-115."""
+    from pyspark.sql.types import StringType
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _hrefs(base: pd.Series, html: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                [c.url for c in extract_links(h, b, positions, sniff_flags) if c.valid]
+                for b, h in zip(base, html)
+            ]
+        )
+
+    return _hrefs
+
+
 @dataclass
 class OriginPolicy:
     """extract/extract.go:56-90 origin gates as declarative config."""

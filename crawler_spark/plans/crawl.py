@@ -227,6 +227,12 @@ class CrawlEngine:
     ):
         self.spark = spark
         self.web = web
+        # S4+L1 html mode: a web fixture carrying raw `html` bodies
+        # (and no pre-extracted `out_links`) routes every fetched page
+        # through the REAL link extractor (functions/extract, incl.
+        # <base> rebasing) at fetch time — the loop then does what the
+        # reference's handler does to live bodies (handle.go:63-160)
+        self.html_mode = "html" in web.columns and "out_links" not in web.columns
         self.policy = policy
         # Per-URL config via the nginx-style mux (operators/mux.UrlMux —
         # mux/mux.go:173-238,280-322): when present, pattern lookups
@@ -728,17 +734,26 @@ class CrawlEngine:
             if with_cache
             else []
         )
+        if self.html_mode:
+            # html mode carries the raw body through the join; link
+            # extraction happens AFTER it, on the popped rows only (the
+            # UDF never runs over the whole web table)
+            src_links = F.col("html").alias("w_html")
+            tgt_links = F.col("html").alias("t_html")
+        else:
+            src_links = F.col("out_links").alias("w_links")
+            tgt_links = F.col("out_links").alias("t_links")
         src = web.select(
             "url",
             F.col("status").alias("w_status"),
-            F.col("out_links").alias("w_links"),
+            src_links,
             "redirect_to",
             *extra_src,
         )
         tgt = web.select(
             F.col("url").alias("redirect_to"),
             F.col("status").alias("t_status"),
-            F.col("out_links").alias("t_links"),
+            tgt_links,
             *extra_tgt,
         )
         return src, tgt
@@ -808,9 +823,22 @@ class CrawlEngine:
         ).otherwise(F.coalesce("w_status", F.lit(0)))
         base_url = F.coalesce("redirect_to", "url")
         inject = F.col("redirect_to").isNotNull() & F.lit(p.follow_redirects)
-        eff_links = F.when(
-            F.col("redirect_to").isNotNull(), F.coalesce("t_links", F.array().cast("array<string>"))
-        ).otherwise(F.coalesce("w_links", F.array().cast("array<string>")))
+        if self.html_mode:
+            # tokenize the fetched body against its FINAL url (after the
+            # redirect hop — links resolve against the response URL,
+            # handle.go:66-76); one Arrow batch per fetched frame
+            from crawler_spark.functions.extract import href_urls_udf
+
+            eff_html = F.when(
+                F.col("redirect_to").isNotNull(), F.col("t_html")
+            ).otherwise(F.col("w_html"))
+            eff_links = F.coalesce(
+                href_urls_udf()(base_url, eff_html), F.array().cast("array<string>")
+            )
+        else:
+            eff_links = F.when(
+                F.col("redirect_to").isNotNull(), F.coalesce("t_links", F.array().cast("array<string>"))
+            ).otherwise(F.coalesce("w_links", F.array().cast("array<string>")))
         links_arr = F.when(
             inject, F.concat(F.array(F.col("redirect_to")), eff_links)
         ).otherwise(eff_links)

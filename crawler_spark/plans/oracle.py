@@ -54,6 +54,10 @@ class WebRow:
     cache_max_age_ms: Optional[int] = None
     cache_etag: Optional[str] = None
     cache_need_validate: bool = False
+    # html mode (L1): raw body; when set (and out_links empty) the page's
+    # links come from the REAL extractor — functions/extract.extract_links,
+    # <base> rebasing included — exactly like the engine's html-mode fetch
+    html: Optional[str] = None
 
 
 @dataclass
@@ -233,7 +237,13 @@ def crawl_oracle(
                 base = row.redirect_to
                 row = web.get(row.redirect_to)
             status = row.status if row is not None else 0
-            links = list(injected) + list(row.out_links or () if row else ())
+            if row is not None and row.html is not None and not row.out_links:
+                from crawler_spark.functions.extract import extract_links
+
+                body_links = [c.url for c in extract_links(row.html, base) if c.valid]
+            else:
+                body_links = list(row.out_links or ()) if row else []
+            links = list(injected) + body_links
             eff_cma = row.cache_max_age_ms if row is not None else None
             eff_etag = row.cache_etag if row is not None else None
             eff_nv = bool(row.cache_need_validate) if row is not None else False

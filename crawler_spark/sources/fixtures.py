@@ -27,6 +27,13 @@ WEB_SCHEMA = (
     "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long, "
     "cache_max_age_ms long, cache_etag string, cache_need_validate boolean"
 )
+# html-mode web: raw bodies instead of pre-extracted out_links — the
+# engine routes these through the REAL extractor (plans/crawl html_mode)
+HTML_WEB_SCHEMA = (
+    "url string, host_key string, status int, html string, redirect_to string, "
+    "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long, "
+    "cache_max_age_ms long, cache_etag string, cache_need_validate boolean"
+)
 HOST_POLICY_COLS = ["host_key", "interval_ms", "max_visits", "robots_disallow"]
 
 
@@ -52,11 +59,20 @@ def payload_bytes(rng: random.Random, w: int = 4, h: int = 4) -> bytes:
 
 @dataclass
 class SynthWeb:
-    rows: list  # list[dict] matching WEB_SCHEMA
+    rows: list  # list[dict] matching WEB_SCHEMA (or HTML_WEB_SCHEMA)
     seeds: list
     host_policy: list  # list[dict] matching HOST_POLICY_COLS
+    html_mode: bool = False
 
     def web_df(self, spark):
+        if self.html_mode:
+            return spark.createDataFrame(
+                [
+                    {k: v for k, v in r.items() if k != "out_links"}
+                    for r in self.rows
+                ],
+                HTML_WEB_SCHEMA,
+            )
         return spark.createDataFrame(self.rows, WEB_SCHEMA)
 
     def host_policy_df(self, spark):
@@ -71,11 +87,12 @@ class SynthWeb:
             r["url"]: WebRow(
                 url=r["url"],
                 status=r["status"],
-                out_links=tuple(r["out_links"] or ()),
+                out_links=() if self.html_mode else tuple(r["out_links"] or ()),
                 redirect_to=r["redirect_to"],
                 cache_max_age_ms=r.get("cache_max_age_ms"),
                 cache_etag=r.get("cache_etag"),
                 cache_need_validate=bool(r.get("cache_need_validate") or False),
+                html=r.get("html") if self.html_mode else None,
             )
             for r in self.rows
         }
@@ -89,6 +106,68 @@ class SynthWeb:
             )
             for h in self.host_policy
         }
+
+
+def to_html_web(fx: SynthWeb, seed: int = 99) -> SynthWeb:
+    """Render each page's out-links into a REAL HTML body and drop the
+    pre-extracted array — the engine (and oracle) must re-derive links
+    by tokenizing the body (functions/extract), exactly like the
+    reference handler does to live responses (handle.go:63-160).
+
+    Link renderings per page (deterministic rng):
+      * kind 0 — plain: every href verbatim (absolute or the fixture's
+        messy relative forms), no <base>;
+      * kind 1 — genuine <base> rebasing: <base href="http://OTHER/">
+        points at ANOTHER host's root and ~half the same-host links are
+        rendered host-relative, so they resolve onto the other host —
+        the crawl genuinely goes somewhere it wouldn't without the
+        rebase;
+      * kind 2 — relative <base href="sub/"> (itself resolved against
+        the page URL per handle.go:144-146), hrefs verbatim.
+    Noise elements (<script>, comments, self-closing tags, a non-href
+    anchor) are mixed in so the parser earns its keep.
+    """
+    import html as _html
+
+    rng = random.Random(seed)
+    hosts = sorted({r["host_key"] for r in fx.rows})
+    new_rows = []
+    for r in fx.rows:
+        out = list(r["out_links"] or ())
+        kind = rng.randrange(3)
+        base_tag = ""
+        rendered = []
+        if kind == 1 and out and len(hosts) > 1:
+            other = hosts[(hosts.index(r["host_key"]) + 1) % len(hosts)]
+            base_tag = f'<base href="http://{other}/">'
+            pre = f"http://{r['host_key']}/"
+            for l in out:
+                if l.startswith(pre) and rng.random() < 0.5:
+                    rendered.append(l[len(pre):])  # rebases onto `other`
+                else:
+                    rendered.append(l)
+        else:
+            if kind == 2:
+                base_tag = '<base href="sub/">'
+            rendered = out
+        body = "".join(
+            f'<a href="{_html.escape(l, quote=True)}">l{i}</a>'
+            + ("<br/>" if i % 3 == 0 else "")
+            for i, l in enumerate(rendered)
+        )
+        html_doc = (
+            f"<html><head>{base_tag}<title>{r['url']}</title></head><body>"
+            f"<!-- comment with a fake href=\"http://nowhere.test/\" -->"
+            f"<a name='no-href-anchor'>skip</a>{body}"
+            f"<script>var x = 'not a link';</script></body></html>"
+        )
+        nr = dict(r)
+        nr.pop("out_links", None)
+        nr["html"] = html_doc
+        new_rows.append(nr)
+    return SynthWeb(
+        rows=new_rows, seeds=fx.seeds, host_policy=fx.host_policy, html_mode=True
+    )
 
 
 def synth_web(

@@ -150,14 +150,23 @@ def crawl_oracle(
         return avail if ticket_at == "avail" else 0
 
     # --- seeds (crawler.go:120-140) --------------------------------------
+    # a seed may be a plain url or a (url, score) pair — the latter is
+    # how sitemap-discovered seeds carry their priority-derived score
+    # through the S2 enqueue path (sources/sitemap.write_sitemap_tickets)
     for raw in seeds:
+        seed_score = None
+        if isinstance(raw, tuple):
+            raw, seed_score = raw
         c = canonicalize(raw)
         if not c.valid:
             reject(f"seed-{c.reason}")
             continue
         if c.url in res.seen:
             continue
-        score = mux.score(c.url) if mux is not None else policy.score_fn(0)
+        if seed_score is not None:
+            score = seed_score
+        else:
+            score = mux.score(c.url) if mux is not None else policy.score_fn(0)
         res.seen[c.url] = SeenRow(depth=0, seq=seq_counter)
         if trap_threshold is not None:
             trie_for(c.host_key).add(c.url, enforce=False)  # seeds bypass

@@ -159,3 +159,133 @@ def entries_to_seeds(entries: DataFrame, *, score_scale: int = 999) -> DataFrame
         F.col("changefreq_ms").alias("interval_ms"),
         "lastmod_ms",
     )
+
+
+def children_udf():
+    """xml column → array<string> of child sitemap locs (<sitemapindex>
+    entries; empty for a plain <urlset> or invalid XML)."""
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _kids(xmls: pd.Series) -> pd.Series:
+        out = []
+        for x in xmls:
+            try:
+                _, children = parse_sitemap(x)
+                out.append(children)
+            except (ET.ParseError, ValueError):
+                out.append([])
+        return pd.Series(out)
+
+    return _kids
+
+
+def discover_sitemap_seeds(
+    robots: DataFrame,
+    sitemap_pages: DataFrame,
+    *,
+    host_col: str = "host_key",
+    text_col: str = "robots_txt",
+    url_col: str = "url",
+    xml_col: str = "xml",
+    agent: str = "*",
+    score_scale: int = 999,
+) -> DataFrame:
+    """S9 wiring (reference _sitemeta/site.go:20-67): per host, the
+    robots.txt's ``Sitemap:`` URLs — defaulting to
+    ``http://<host>/sitemap.xml`` when robots names none
+    (site.go:60-66) — are joined to their XML bodies
+    (``sitemap_pages``: the metadata-fetch table, distinct from the
+    crawl web), parsed with ONE <sitemapindex> nesting level
+    (sitemap.go:11-102), and exploded into per-URL seed rows.
+
+    Returns (seed, host_key, score, interval_ms, lastmod_ms,
+    sitemap_url): score = round(priority × scale) feeds the ticket
+    priority; interval_ms = changefreq feeds the revisit policy (host
+    interval or a per-URL mux freq — caller's choice of knob).
+
+    Scale: the robots/sitemap tables are metadata-scale (one row per
+    host / per sitemap file); every step is a hash join or an Arrow
+    batch — no driver-side row data.
+    """
+    from pyspark.sql import functions as F
+
+    from crawler_spark.functions.robots import robots_policy_udf
+
+    r = robots.select(
+        F.col(host_col).alias("host_key"),
+        robots_policy_udf(agent)(F.col(text_col)).alias("r"),
+    )
+    sm = r.select(
+        "host_key",
+        F.explode(
+            F.when(
+                F.size(F.coalesce(F.col("r.sitemaps"), F.array())) > 0,
+                F.col("r.sitemaps"),
+            ).otherwise(
+                F.array(F.concat(F.lit("http://"), F.col("host_key"), F.lit("/sitemap.xml")))
+            )
+        ).alias("sitemap_url"),
+    )
+    pages = sitemap_pages.select(
+        F.col(url_col).alias("sitemap_url"), F.col(xml_col).alias("xml")
+    )
+    direct = sm.join(pages, "sitemap_url")
+    kids = direct.select(
+        "host_key", F.explode(children_udf()(F.col("xml"))).alias("sitemap_url")
+    ).join(pages, "sitemap_url")
+    all_pages = direct.unionByName(kids).dropDuplicates(["host_key", "sitemap_url"])
+    entries = parse_sitemaps_df(all_pages, xml_col="xml", url_col="sitemap_url")
+    hosts = all_pages.select("sitemap_url", "host_key").dropDuplicates(["sitemap_url"])
+    return (
+        entries.join(hosts, "sitemap_url")
+        .select(
+            F.col("loc").alias("seed"),
+            "host_key",
+            F.round(F.col("priority") * score_scale).cast("int").alias("score"),
+            F.col("changefreq_ms").alias("interval_ms"),
+            "lastmod_ms",
+            "sitemap_url",
+        )
+    )
+
+
+def write_sitemap_tickets(seeds: DataFrame, enqueue_dir: str) -> int:
+    """Feed discovered sitemap seeds into the engine's S2 enqueue path:
+    canonicalize, dedupe (min-score-key = best priority wins — the merge
+    dedupes arbitrarily, so tickets must arrive one-per-url), shape as
+    frontier tickets with the per-URL score PRESERVED (richer than the
+    text drop-dir, same drain protocol), append to the drain directory.
+    Returns the ticket count. The engine folds them in at its next tick
+    boundary exactly like streamed Enqueue rows (crawler.go:143-158)."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.functions.urlnorm import canonicalize_udf
+    from crawler_spark.operators.ordering import prio_col
+
+    t = (
+        seeds.select("seed", "score", canonicalize_udf("seed").alias("c"))
+        .where("c.valid")
+        .groupBy(F.col("c.url").alias("url"))
+        .agg(
+            F.max("score").alias("score"),
+            F.first("c.host_key").alias("host_key"),
+        )
+        .select(
+            "url",
+            "host_key",
+            F.lit(0).cast("long").alias("next_ms"),
+            F.lit(0).cast("long").alias("avail_ms"),
+            F.col("score").cast("int").alias("score"),
+            prio_col(F.col("score").cast("int")).alias("prio"),
+            F.lit(-1).cast("long").alias("seq"),  # assigned on frontier merge
+            F.lit(0).alias("depth"),
+            F.lit(0).alias("num_retry"),
+        )
+    )
+    t = t.persist()
+    n = t.count()
+    if n:
+        t.write.mode("append").parquet(enqueue_dir)
+    t.unpersist()
+    return n

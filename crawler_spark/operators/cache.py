@@ -21,6 +21,7 @@ import re
 from email.utils import parsedate_to_datetime
 from typing import Optional
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -123,6 +124,42 @@ def parse_response_cache(
         last_modified_ms=_http_date_ms(h.get("last-modified")),
         need_validate=need_validate,
     )
+
+
+def header_cache_cols_udf():
+    """(status, headers map) → struct(cache_max_age_ms, cache_etag,
+    cache_need_validate): the web-fixture cache-control columns derived
+    from REAL header maps by ``parse_response_cache`` (client.go:155-204
+    parses live headers the same way). The loop stamps fetched/date at
+    emit time, so only the CONTROL fields flow from here — use header
+    recipes whose freshness is date-independent (max-age / s-maxage /
+    no-cache / no-store / ETag) when driving the in-loop lifecycle."""
+    from pyspark.sql.types import BooleanType, LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("cache_max_age_ms", LongType()),
+            StructField("cache_etag", StringType()),
+            StructField("cache_need_validate", BooleanType()),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def _parse(status: pd.Series, headers: pd.Series) -> pd.DataFrame:
+        rows = []
+        for st, h in zip(status, headers):
+            ent = parse_response_cache(
+                int(st) if st is not None else 0, dict(h or {}), 0
+            )
+            if ent is None:
+                rows.append((None, None, False))
+            else:
+                rows.append((ent["max_age_ms"], ent["etag"], bool(ent["need_validate"])))
+        return pd.DataFrame(
+            rows, columns=["cache_max_age_ms", "cache_etag", "cache_need_validate"]
+        )
+
+    return _parse
 
 
 def cache_route_col(now_ms, prefix: str = "") -> Column:

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
     IntegerType,
     LongType,
     StringType,
@@ -108,4 +109,90 @@ def fetch_batch(
         salted.select("url", "seq", host_col, "salt")
         .groupBy(host_col, "salt")
         .applyInPandas(lambda key, pdf: per_group(pdf), FETCH_RESULT_SCHEMA)
+    )
+
+
+# fetch result + the parsed cache-control merge inputs (RESULT_COLS of
+# operators/cache.py) — what the production path hands cache_merge
+FETCH_CACHE_RESULT_SCHEMA = StructType(
+    list(FETCH_RESULT_SCHEMA.fields)
+    + [
+        StructField("resp_cacheable", BooleanType()),
+        StructField("resp_date_ms", LongType()),
+        StructField("resp_max_age_ms", LongType()),
+        StructField("resp_age_ms", LongType()),
+        StructField("resp_etag", StringType()),
+        StructField("resp_last_modified_ms", LongType()),
+        StructField("resp_need_validate", BooleanType()),
+        StructField("resp_body_bytes", LongType()),
+    ]
+)
+
+
+def fetch_batch_with_cache(
+    selected: DataFrame,
+    client_fn: Callable,
+    *,
+    now_ms: int,
+    max_batch_per_task: int = 256,
+    host_col: str = "host_key",
+) -> DataFrame:
+    """Production cache-header path (client.go:155-204): the injected
+    ``client_fn`` additionally returns a ``headers`` column (list of
+    dicts, one per url); ``parse_response_cache`` turns each response's
+    REAL header map into the exact merge inputs
+    (``operators/cache.RESULT_COLS``) that the engine's fixture path
+    synthesizes — parsed inside the SAME Arrow batch as the fetch, no
+    second Python pass over the rows."""
+    from crawler_spark.operators.cache import parse_response_cache
+
+    salted = salt_heavy_hosts(
+        selected, max_batch_per_task=max_batch_per_task, host_col=host_col
+    )
+
+    def per_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        res = client_fn(pdf["url"])
+        parsed = []
+        for status, body, hdrs in zip(res["status"], res["body"], res["headers"]):
+            nb = len(body) if body is not None else 0
+            ent = parse_response_cache(int(status), dict(hdrs or {}), now_ms)
+            if ent is None:
+                parsed.append((False, None, None, None, None, None, False, nb))
+            else:
+                parsed.append(
+                    (
+                        True,
+                        ent["date_ms"],
+                        ent["max_age_ms"],
+                        ent["age_ms"],
+                        ent["etag"],
+                        ent["last_modified_ms"],
+                        bool(ent["need_validate"]),
+                        nb,
+                    )
+                )
+        cc = pd.DataFrame(
+            parsed,
+            columns=[
+                "resp_cacheable", "resp_date_ms", "resp_max_age_ms", "resp_age_ms",
+                "resp_etag", "resp_last_modified_ms", "resp_need_validate",
+                "resp_body_bytes",
+            ],
+        )
+        base = pd.DataFrame(
+            {
+                "url": pdf["url"].values,
+                "seq": pdf["seq"].values,
+                "status": res["status"].values,
+                "final_url": res["final_url"].values,
+                "content_type": res["content_type"].values,
+                "body": res["body"].values,
+            }
+        )
+        return pd.concat([base.reset_index(drop=True), cc], axis=1)
+
+    return (
+        salted.select("url", "seq", host_col, "salt")
+        .groupBy(host_col, "salt")
+        .applyInPandas(lambda key, pdf: per_group(pdf), FETCH_CACHE_RESULT_SCHEMA)
     )

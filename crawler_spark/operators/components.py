@@ -57,6 +57,7 @@ def connected_components(
     dst_col: str = "id_b",
     *,
     max_iter: int = 50,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(id, component) for every node appearing in ``pairs``; component
     is the minimum node id reachable via the undirected pair relation.
@@ -64,7 +65,8 @@ def connected_components(
     Deterministic; self-loop pairs are ignored. ``max_iter`` bounds the
     doubling loop (50 rounds covers diameters beyond 2^40 — hitting it
     means a broken convergence invariant, so it raises rather than
-    returning partial labels).
+    returning partial labels). Pass a dict as ``stats`` to receive
+    {"rounds": <rounds run including the converged one>}.
     """
     e = pairs.select(
         F.col(src_col).cast("long").alias("u"),
@@ -86,7 +88,9 @@ def connected_components(
     # a change-count join). decimal(38,0) so the checksum cannot
     # overflow at any node count.
     prev_sum = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
-    for _ in range(max_iter):
+    for round_no in range(1, max_iter + 1):
+        if stats is not None:
+            stats["rounds"] = round_no
         nbr_min = (
             sym.join(
                 labels.select(F.col("id").alias("v"), F.col("comp").alias("vc")), "v"

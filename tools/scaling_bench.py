@@ -67,8 +67,10 @@ if master.startswith("local-cluster"):
     # true multi-executor JVMs: each executor owns its memory pool and
     # shuffles over real block transfers; executor Python workers need
     # the repo on PYTHONPATH — the local-cluster analog of shipping the
-    # package via spark-submit --py-files
-    conf["spark.executor.memory"] = "20g"
+    # package via spark-submit --py-files. Executor memory = the master
+    # string's per-executor MB (local-cluster[n,cores,mem_mb]).
+    mem_mb = master.rstrip("]").split(",")[-1]
+    conf["spark.executor.memory"] = f"{{mem_mb}}m"
     conf["spark.executorEnv.PYTHONPATH"] = {repo!r}
 spark = get_spark(app_name=f"scaling-{{cpus}}", master=master,
                   shuffle_partitions=32, extra_conf=conf)
@@ -246,18 +248,29 @@ def main():
     )
     ap.add_argument(
         "--executors", action="store_true",
-        help="N vs 4N EXECUTOR JVMs (local-cluster[N,8] vs local-cluster[4N,8], "
-        "8 cores each) instead of thread counts — the closest sandbox analog "
-        "of the north rule's 'N and 4N executors'; --n is the executor count",
+        help="N vs 4N EXECUTOR JVMs (local-cluster[N,C] vs local-cluster[4N,C]) "
+        "instead of thread counts — the closest sandbox analog of the north "
+        "rule's 'N and 4N executors'; --n is the executor count",
+    )
+    ap.add_argument(
+        "--exec-cores", type=int, default=8,
+        help="cores per executor in --executors mode; small values (e.g. 2) "
+        "give the 4N level memory-bandwidth HEADROOM on one host — the "
+        "honest reading of the plan's scalability vs the host's ceiling",
+    )
+    ap.add_argument(
+        "--exec-mem-mb", type=int, default=20480,
+        help="memory per executor (MB) in --executors mode",
     )
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     args = ap.parse_args()
 
     if args.executors:
-        lo_master = f"local-cluster[{args.n},8,20480]"
-        hi_master = f"local-cluster[{args.n * 4},8,20480]"
-        lo = run_level(args.n * 8, args.sf_dir, args.scale, lo_master)
-        hi = run_level(args.n * 32, args.sf_dir, args.scale, hi_master)
+        c = args.exec_cores
+        lo_master = f"local-cluster[{args.n},{c},{args.exec_mem_mb}]"
+        hi_master = f"local-cluster[{args.n * 4},{c},{args.exec_mem_mb}]"
+        lo = run_level(args.n * c, args.sf_dir, args.scale, lo_master)
+        hi = run_level(args.n * 4 * c, args.sf_dir, args.scale, hi_master)
     else:
         lo = run_level(args.n, args.sf_dir, args.scale)
         hi = run_level(args.n * 4, args.sf_dir, args.scale)

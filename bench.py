@@ -70,6 +70,11 @@ def main() -> None:
         # best-copy-per-caption argmax)
         "image_quality",
         "caption_dedup_best",
+        # r4 additions: the composed corpus pipeline (gate → caption
+        # dedup → phash clusters → canonical keep) and the html-mode
+        # whole-crawl (the loop parsing real bodies via the extractor)
+        "corpus_canonical",
+        "crawl_html",
     ]
     # The minhash/simhash driver entries use the md5 hash family so the
     # DuckDB oracle can recompute them; the benchmark measures the

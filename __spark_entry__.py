@@ -1272,6 +1272,119 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_crawl_bfs(spark, "/root/testdata/sf0.001")
 
 
+def q_diskqueue_pop_order(spark, sf_dir):
+    """Q4 — the DiskQueue spill queue (reference diskqueue.go:220-395):
+    3000 events pushed in scrambled batches through a 1024-slot bounded-
+    memory queue (spill + write-behind buffer + half-reloads engaged),
+    drained to a pop log. A correct spill queue's pop sequence equals
+    the plain (next_ms, seq) total order over everything pushed — the
+    oracle. Minute-floored timestamps force heavy ties so the FIFO
+    tie-break is load-bearing."""
+    import tempfile
+
+    from crawler_spark.operators.diskqueue import SpilledWaitQueue, pop_all_ordered
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 3000)
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    items = ev.select(
+        (ms - ms % 60000).alias("next_ms"),
+        F.col("event_id").alias("seq"),
+    )
+    q = SpilledWaitQueue(
+        spark,
+        workdir=tempfile.mkdtemp(prefix="dq_entry_"),
+        limit=1024,
+        buf_size=256,
+    )
+    # scrambled push order: interleave front/back halves batch by batch
+    for lo in range(0, 3000, 600):
+        half = 300
+        q.push(
+            items.where(
+                ((F.col("seq") >= lo) & (F.col("seq") < lo + half))
+                | ((F.col("seq") >= 2700 - lo) & (F.col("seq") < 3000 - lo))
+            )
+        )
+    out = pop_all_ordered(q, batch=2048).select(
+        F.col("seq").alias("event_id"), "next_ms", "pop_ord"
+    ).localCheckpoint()
+    q.close()
+    return out
+
+
+def q_store_state_machine(spark, sf_dir):
+    """M2/M4 — the Store contract state machine (store.go:12-28,
+    storage_test.go:28-104) replayed at table scale through the
+    LSMStore backend (the leveldb analog; state/stores.py): 4
+    sequential batches of PutNX → Update → Complete derived from the
+    events table, one mid-run compaction, final table out. First
+    writer wins puts (arg-min event), latest update wins fields
+    (arg-max click), purchases complete. The oracle re-derives the
+    final table in pure SQL."""
+    import tempfile
+
+    from crawler_spark.state.stores import LSMStore
+
+    tms = F.unix_millis(F.col("ts").cast("timestamp"))
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_id") < 8000)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            tms.alias("tms"),
+            F.concat(F.lit("http://store.test/p"), (F.col("event_id") % 229).cast("string")).alias("url"),
+        )
+        .localCheckpoint()
+    )
+    store = LSMStore(
+        spark, workdir=tempfile.mkdtemp(prefix="store_entry_"), compact_frames=100
+    )
+    put_vals = F.struct(
+        (F.col("user_id") % 9).cast("int").alias("depth"),
+        F.lit(False).alias("done"),
+        F.lit(0).alias("status"),
+        F.col("tms").alias("last_ms"),
+        F.lit(0).alias("num_visit"),
+        F.lit(0).alias("num_retry"),
+    )
+    upd_vals = F.struct(
+        (F.lit(200) + F.col("user_id") % 3).cast("int").alias("status"),
+        (F.col("tms") + 1000).alias("last_ms"),
+        (F.lit(1) + F.col("event_id") % 5).cast("int").alias("num_visit"),
+        (F.col("event_id") % 2).cast("int").alias("num_retry"),
+    )
+    for lo in range(0, 8000, 2000):
+        evb = ev.where((F.col("event_id") >= lo) & (F.col("event_id") < lo + 2000))
+        puts = (
+            evb.groupBy("url")
+            .agg(F.min_by(put_vals, "event_id").alias("_v"))
+            .select("url", "_v.*")
+        )
+        store.put_nx(puts)
+        upds = (
+            evb.where(F.col("event_type") == "click")
+            .groupBy("url")
+            .agg(F.max_by(upd_vals, "event_id").alias("_v"))
+            .select("url", "_v.*")
+        )
+        store.update(upds)
+        store.complete_df(
+            evb.where(F.col("event_type") == "purchase").select("url")
+        )
+        if lo == 2000:
+            store.compact()  # mid-run fold: resolution must survive it
+    out = store.snapshot().select(
+        "url", "depth", "status", "num_visit", "num_retry", "last_ms", "done"
+    ).localCheckpoint()
+    store.close()
+    from crawler_spark.state.ckpt import release_checkpoint
+
+    release_checkpoint(ev)
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "frontier_topk": q_frontier_topk,
@@ -1321,6 +1434,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_links": q_extract_links,
         "crawl_bfs": q_crawl_bfs,
         "crawl_html": q_crawl_html,
+        "diskqueue_pop_order": q_diskqueue_pop_order,
+        "store_state_machine": q_store_state_machine,
     }
 
 
@@ -1910,4 +2025,44 @@ def oracle_sql() -> dict[str, str]:
         # html-mode whole-crawl: the SQL re-derives every link arithmetically
         # (the same BFS oracle) — the entry must re-FIND them by parsing HTML
         "crawl_html": _crawl_bfs_oracle_sql(),
+        # Q4: a correct spill queue's pop sequence IS the plain total
+        # order over everything pushed — spills/reloads must not change it
+        "diskqueue_pop_order": (
+            "SELECT event_id, next_ms, "
+            "ROW_NUMBER() OVER (ORDER BY next_ms, event_id) - 1 AS pop_ord "
+            "FROM (SELECT event_id, "
+            " epoch_ms(ts) - epoch_ms(ts) % 60000 AS next_ms "
+            " FROM events WHERE event_id < 3000)"
+        ),
+        # M2/M4: the store state machine re-derived declaratively —
+        # first put (arg-min event) wins depth/initial last, latest
+        # click (arg-max event) wins the Update field set, any purchase
+        # completes
+        "store_state_machine": (
+            "WITH ev AS ("
+            " SELECT event_id, user_id, event_type, epoch_ms(ts) AS tms,"
+            "        'http://store.test/p' || CAST(event_id % 229 AS VARCHAR) AS url"
+            " FROM events WHERE event_id < 8000"
+            "), puts AS ("
+            " SELECT url,"
+            "        CAST(arg_min(user_id % 9, event_id) AS INT) AS depth,"
+            "        arg_min(tms, event_id) AS put_last"
+            " FROM ev GROUP BY url"
+            "), upds AS ("
+            " SELECT url,"
+            "        CAST(arg_max(200 + user_id % 3, event_id) AS INT) AS status,"
+            "        CAST(arg_max(1 + event_id % 5, event_id) AS INT) AS num_visit,"
+            "        CAST(arg_max(event_id % 2, event_id) AS INT) AS num_retry,"
+            "        arg_max(tms + 1000, event_id) AS upd_last"
+            " FROM ev WHERE event_type = 'click' GROUP BY url"
+            "), dones AS (SELECT DISTINCT url FROM ev WHERE event_type = 'purchase')"
+            " SELECT p.url, p.depth,"
+            "        COALESCE(u.status, 0) AS status,"
+            "        COALESCE(u.num_visit, 0) AS num_visit,"
+            "        COALESCE(u.num_retry, 0) AS num_retry,"
+            "        COALESCE(u.upd_last, p.put_last) AS last_ms,"
+            "        d.url IS NOT NULL AS done"
+            " FROM puts p LEFT JOIN upds u ON p.url = u.url"
+            " LEFT JOIN dones d ON p.url = d.url"
+        ),
     }

@@ -31,6 +31,12 @@ Scale design (the 10^10-URL story — test scale just shrinks the numbers):
   * state materialization per step uses localCheckpoint (lineage cut);
     every `snapshot_every` steps the state is durably committed through
     SnapshotStore (Iceberg-snapshot semantics) for exact resume.
+  * the frontier never needs to be memory-resident: Spark shuffle spill
+    covers the per-step operator paths, and the reference's explicit
+    bounded-memory spill queue (Q4 DiskQueue) exists as
+    operators/diskqueue.SpilledWaitQueue (hot cached slice + watermarked
+    sorted parquet frames) for queue-shaped consumers outside the
+    superstep loop.
 """
 
 from __future__ import annotations

@@ -36,19 +36,27 @@ Design for 100 TB:
     discipline as the crawl engine — see state/ckpt.py; labels are
     |nodes|-scale, so letting O(log d) generations pile up in executor
     storage until a JVM GC is a real cost at 10^10 nodes).
-  * the only driver round-trip is one scalar aggregate per round for
-    the convergence test (labels only decrease, so an unchanged
-    checksum of sum(comp) == fixpoint) — O(log d) scalar actions for
-    the whole job, never row data.
+  * the only driver round-trip is one scalar per round for the
+    convergence test (labels only decrease, so an unchanged checksum of
+    sum(comp) == fixpoint) — and it rides the checkpoint's own
+    materializing job via ``observe()`` rather than paying a second
+    label-table scan, so each round is exactly ONE job. O(log d)
+    scalar reads for the whole loop, never row data.
 """
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark import StorageLevel
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from crawler_spark.state.ckpt import release_checkpoint
+
+#: Observation names must be unique per SparkSession; a process-wide
+#: counter keeps repeated calls (tests, bench loops) collision-free.
+_obs_ids = itertools.count()
 
 
 def connected_components(
@@ -77,17 +85,23 @@ def connected_components(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # labels only decrease, so sum(comp) strictly decreases every
+    # non-fixpoint round; an unchanged sum IS convergence (cheaper than
+    # a change-count join). decimal(38,0) so the checksum cannot
+    # overflow at any node count. The checksum is attached with
+    # observe(), so the eager checkpoint's materializing job computes
+    # it in passing — no second scan, one job per round.
+    _checksum = F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+    _obs_id = next(_obs_ids)
+    obs0 = Observation(f"cc_{_obs_id}_init")
     labels = (
         sym.select(F.col("u").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("comp"))
+        .observe(obs0, _checksum)
         .localCheckpoint()
     )
-    # labels only decrease, so sum(comp) strictly decreases every
-    # non-fixpoint round; an unchanged sum IS convergence (cheaper than
-    # a change-count join). decimal(38,0) so the checksum cannot
-    # overflow at any node count.
-    prev_sum = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
+    prev_sum = obs0.get["s"]
     for round_no in range(1, max_iter + 1):
         if stats is not None:
             stats["rounds"] = round_no
@@ -107,16 +121,18 @@ def connected_components(
         # so the self-join always matches; left+coalesce keeps the plan
         # total even so.
         parent = l1.select(F.col("id").alias("comp"), F.col("comp").alias("cc"))
+        obs = Observation(f"cc_{_obs_id}_r{round_no}")
         l2 = (
             l1.join(parent, "comp", "left")
             .select("id", F.coalesce(F.col("cc"), F.col("comp")).alias("comp"))
+            .observe(obs, _checksum)
             .localCheckpoint()
         )
-        cur_sum = l2.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
-        # l2 is materialized (eager checkpoint + the sum action): the
-        # previous generation's node-scale blocks can be freed NOW
-        # instead of waiting for a JVM GC — storage stays at one
-        # generation across the whole O(log d) loop
+        cur_sum = obs.get["s"]
+        # l2 is materialized (the eager checkpoint, which also carried
+        # the checksum out): the previous generation's node-scale blocks
+        # can be freed NOW instead of waiting for a JVM GC — storage
+        # stays at one generation across the whole O(log d) loop
         release_checkpoint(labels)
         labels = l2
         if cur_sum == prev_sum:

@@ -28,8 +28,11 @@ Design for 100 TB:
   * per round: one partial-aggregated groupBy(u).min (map-side combine
     absorbs high-degree skew) + two hash joins on the label table — no
     sorts, no windows, no driver-side data.
-  * the edge table is symmetrized + deduped ONCE and persisted; every
-    round reuses it (and its shuffle partitioning).
+  * the edge table is symmetrized + deduped ONCE, repartitioned on the
+    join key, and persisted — the cached hash(v) partitioning satisfies
+    every round's propagate join, so the |E|-scale side is shuffled
+    exactly once for the whole job; each round moves only the
+    |V|-scale label table.
   * labels are localCheckpoint'd per round to truncate the iterative
     lineage, and the PREVIOUS round's checkpoint blocks are released as
     soon as the new generation materializes (the same superstep
@@ -59,6 +62,26 @@ from crawler_spark.state.ckpt import release_checkpoint
 _obs_ids = itertools.count()
 
 
+def _symmetrized_edges(e: DataFrame) -> DataFrame:
+    """The (u, v) edge table symmetrized, deduped, hash(v)-partitioned
+    and persisted — the static side of every propagation round.
+
+    ONE setup shuffle, keyed by v: rows sharing (u, v) share a v, so
+    HashPartitioning(v) already satisfies distinct()'s clustering and
+    the dedup aggregate runs exchange-free on top of the repartition.
+    The payoff is that the CACHED table carries hash(v) partitioning
+    into every round's sym⋈labels join — the |E|-scale side never
+    reshuffles again; only the |V|-scale label table moves, O(log d)
+    times. (Pinned by the plan assertion in tests/test_components.py.)
+    """
+    return (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .repartition(F.col("v"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     src_col: str = "id_a",
@@ -80,11 +103,7 @@ def connected_components(
         F.col(src_col).cast("long").alias("u"),
         F.col(dst_col).cast("long").alias("v"),
     ).where(F.col("u") != F.col("v"))
-    sym = (
-        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    sym = _symmetrized_edges(e)
     # labels only decrease, so sum(comp) strictly decreases every
     # non-fixpoint round; an unchanged sum IS convergence (cheaper than
     # a change-count join). decimal(38,0) so the checksum cannot

@@ -70,6 +70,55 @@ def test_checkpoint_blocks_released_per_round(spark):
     assert after - before <= 2, f"checkpoint leak: {before} -> {after} persisted RDDs"
 
 
+def test_edge_partitioning_reused_by_propagate_join(spark):
+    """The persisted edge table is hash(v)-partitioned ONCE at setup;
+    every round's propagate join must consume that cached partitioning
+    instead of re-shuffling the |E|-scale side. Pinned structurally:
+    the (sym ⋈ labels on v → groupBy u) plan may contain exactly TWO
+    hash exchanges — the labels side (to meet sym's partitioning) and
+    the aggregation's u-exchange — never a third over the cache. Also
+    pins that distinct() rode the setup repartition (an exchange-free
+    dedup aggregate), i.e. the whole setup cost is one shuffle."""
+    from crawler_spark.operators.components import _symmetrized_edges
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(500)], "id_a: long, id_b: long"
+    )
+    e = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    sym = _symmetrized_edges(e)
+    try:
+        # setup plan: repartition(v) then distinct — the dedup aggregate
+        # must NOT add its own exchange (HashPartitioning(v) satisfies
+        # the (u, v) clustering). The only exchange is the deliberate
+        # REPARTITION_BY_COL; an optimizer-inserted one would be tagged
+        # ENSURE_REQUIREMENTS.
+        setup_plan = sym._jdf.queryExecution().executedPlan().toString()
+        assert "REPARTITION_BY_COL" in setup_plan, setup_plan
+        assert "ENSURE_REQUIREMENTS" not in setup_plan, setup_plan
+        sym.count()  # materialize the cache
+        labels = spark.range(1000).select(
+            F.col("id").alias("v"), F.col("id").alias("vc")
+        )
+        old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            nbr_min = (
+                sym.join(labels, "v").groupBy("u").agg(F.min("vc").alias("nc"))
+            )
+            plan = nbr_min._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        assert "InMemoryTableScan" in plan, plan
+        # genuine re-shuffles carry the ENSURE_REQUIREMENTS tag; the
+        # cached subtree's embedded plan copies only show the setup
+        # REPARTITION_BY_COL. Exactly two: labels-side v, aggregate u —
+        # a third would mean the cached edge partitioning was dropped
+        # and the |E|-scale side re-shuffled.
+        assert plan.count("ENSURE_REQUIREMENTS") == 2, plan
+    finally:
+        sym.unpersist()
+
+
 def test_random_graph_matches_union_find(spark):
     rng = random.Random(1234)
     # 40 blocks of sparse edges -> many non-trivial components

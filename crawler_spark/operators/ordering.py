@@ -52,6 +52,62 @@ def topk_global(frontier: DataFrame, k: int) -> DataFrame:
 _EMIT_ORDER_COLS = ["step", "emit_ms", "prio", "seq"]
 
 
+def dense_ordinal(
+    df: DataFrame,
+    order_cols: list[str],
+    *,
+    base: int = 0,
+    out_col: str = "ord",
+    dtype: str = "long",
+    checkpoint=None,
+) -> DataFrame:
+    """Dense 0-based ordinal ``base, base+1, …`` in ``ORDER BY
+    order_cols`` — value-identical to ``row_number() OVER (ORDER BY …)``
+    when the key is a strict total order, WITHOUT the global window's
+    single-task sort of the whole input.
+
+    Technique (shared by emit_ord, step-seq, and enqueue-drain seq):
+    range-partition on the key, sort within partitions, count rows per
+    partition (scalar metadata — the only driver data), convert counts
+    to exclusive prefix offsets, add them to per-partition row numbers.
+    The partitioned frame is checkpointed (``checkpoint`` — defaults to
+    plain ``localCheckpoint``; the crawl loop passes its stats-cutting
+    variant) so the count pass and the numbering pass see the same
+    layout; the returned DataFrame carries that materialization as
+    ``._ckpt_aux`` so callers can release it
+    (state/ckpt.release_checkpoint) once downstream has materialized.
+    """
+    if checkpoint is None:
+        checkpoint = lambda f: f.localCheckpoint()
+    spark = df.sparkSession
+    keys = [F.col(c).asc() for c in order_cols]
+    n = max(2, spark.sparkContext.defaultParallelism)
+    d = checkpoint(
+        df.repartitionByRange(n, *keys)
+        .sortWithinPartitions(*keys)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    counts = {
+        r["_pid"]: r["n"]
+        for r in d.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    }
+    offs, acc = [], base
+    for pid in sorted(counts):
+        offs.append((pid, acc))
+        acc += counts[pid]
+    if not offs:
+        offs = [(0, base)]
+    offs_df = spark.createDataFrame(offs, "_pid int, _off long")
+    w = Window.partitionBy("_pid").orderBy(*keys)
+    out = (
+        d.join(F.broadcast(offs_df), "_pid")
+        .withColumn(out_col, (F.row_number().over(w) - 1 + F.col("_off")).cast(dtype))
+        .drop("_pid", "_off")
+    )
+    out._ckpt_aux = d  # release handle for the partitioned materialization
+    return out
+
+
 def with_emit_order(emitted: DataFrame) -> DataFrame:
     """Assign the final crawl-order ordinal over the emitted log.
 
@@ -81,34 +137,9 @@ def with_emit_order(emitted: DataFrame) -> DataFrame:
     single-task sort of the whole log. Equality with the window form is
     pinned by tests/test_selection.py::test_emit_order_offset_matches_window
     and by every crawl-order-exact E2E."""
-    spark = emitted.sparkSession
-    keys = [F.col(c).asc() for c in _EMIT_ORDER_COLS]
-    n = max(2, spark.sparkContext.defaultParallelism)
-    d = (
-        emitted.repartitionByRange(n, *keys)
-        .sortWithinPartitions(*keys)
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
+    return dense_ordinal(
+        emitted, _EMIT_ORDER_COLS, base=0, out_col="emit_ord", dtype="int"
     )
-    counts = {
-        r["_pid"]: r["n"]
-        for r in d.groupBy("_pid").agg(F.count("*").alias("n")).collect()
-    }
-    offs, acc = [], 0
-    for pid in sorted(counts):
-        offs.append((pid, acc))
-        acc += counts[pid]
-    if not offs:
-        offs = [(0, 0)]
-    offs_df = spark.createDataFrame(offs, "_pid int, _off long")
-    w = Window.partitionBy("_pid").orderBy(*keys)
-    out = (
-        d.join(F.broadcast(offs_df), "_pid")
-        .withColumn("emit_ord", (F.row_number().over(w) - 1 + F.col("_off")).cast("int"))
-        .drop("_pid", "_off")
-    )
-    out._ckpt_aux = d  # release handle for the partitioned materialization
-    return out
 
 
 def with_emit_order_window(emitted: DataFrame) -> DataFrame:

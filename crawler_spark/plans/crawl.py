@@ -53,7 +53,7 @@ from pyspark.sql.types import (
 
 from crawler_spark.config import CrawlPolicy
 from crawler_spark.functions.urlnorm import canonicalize_udf, resolve_links_udf
-from crawler_spark.operators.ordering import prio_col, with_emit_order
+from crawler_spark.operators.ordering import dense_ordinal, prio_col, with_emit_order
 from crawler_spark.operators.selection import admit_hosts, select_batch
 from crawler_spark.state.ckpt import release_checkpoint
 from crawler_spark.state.snapshot import SnapshotStore
@@ -470,6 +470,41 @@ class CrawlEngine:
     def _tag_cancelled(self, selected: DataFrame, host_state: DataFrame) -> DataFrame:
         return tag_cancelled(selected, host_state, self.policy.max_fetches_per_host)
 
+    # ticket-parquet bytes past which drain seq assignment goes
+    # distributed (≈ several hundred thousand ticket rows)
+    _DRAIN_OFFSET_BYTES = 8 << 20
+
+    def _assign_drain_seq(
+        self, fresh: DataFrame, seq_base: int, drained_files: list
+    ) -> DataFrame:
+        """seq for drained enqueue tickets, dense in ORDER BY url (the
+        drain's deterministic insertion order; url is unique after the
+        first-writer dedupe, so the key is a strict total order).
+        Small batches — the common case — pay one tiny window; past
+        ``_DRAIN_OFFSET_BYTES`` of listed ticket parquet the global
+        window would be a single-task sort of the whole batch, so the
+        range-partition + prefix-offset form (dense_ordinal, the same
+        machinery as step seq and emit_ord) takes over. The switch is
+        keyed on the listed files' byte size — known before any Spark
+        job runs, unlike a row count."""
+        try:
+            nbytes = sum(os.path.getsize(p) for p in drained_files)
+        except OSError:  # listing raced the stream: assume large
+            nbytes = self._DRAIN_OFFSET_BYTES
+        if nbytes >= self._DRAIN_OFFSET_BYTES:
+            return _checkpoint(
+                dense_ordinal(
+                    fresh, ["url"], base=seq_base, out_col="seq",
+                    dtype="long", checkpoint=_checkpoint,
+                )
+            )
+        w = Window.orderBy("url")
+        return _checkpoint(
+            fresh.withColumn(
+                "seq", (F.row_number().over(w) - 1 + F.lit(seq_base)).cast("long")
+            )
+        )
+
     def _merge_enqueued(self, frontier, seen, seq_base, step):
         """S2: fold streamed-in tickets into frontier+seen at a tick
         boundary (the batch analog of Enqueue feeding scheduler.NewIn,
@@ -495,12 +530,7 @@ class CrawlEngine:
             drained.withColumn("rn", F.row_number().over(w)).where("rn = 1").drop("rn")
             .join(seen.select("url"), "url", "left_anti")
         )
-        wseq = Window.orderBy("url")
-        fresh = _checkpoint(
-            fresh.withColumn(
-                "seq", (F.row_number().over(wseq) - 1 + F.lit(seq_base)).cast("long")
-            )
-        )
+        fresh = self._assign_drain_seq(fresh, seq_base, drained_files)
         n = fresh.count()
         if n:
             frontier = _checkpoint(frontier.unionByName(fresh.select(*[f.name for f in FRONTIER_SCHEMA.fields])))
@@ -514,6 +544,7 @@ class CrawlEngine:
                 "seq",
             )))
             self._bloom_recent_rows += n  # enqueued rows join the recent slice
+        _release_checkpoint(fresh)  # frontier/seen checkpoints hold the rows now
         # consume EXACTLY the files the drained read listed (parts
         # appended since the listing drain next tick); fresh/frontier
         # are already materialized via _checkpoint at this point
@@ -680,12 +711,7 @@ class CrawlEngine:
             drained.withColumn("rn", F.row_number().over(w)).where("rn = 1").drop("rn")
             .join(self._seen_view().select("url"), "url", "left_anti")
         )
-        wseq = Window.orderBy("url")
-        fresh = _checkpoint(
-            fresh.withColumn(
-                "seq", (F.row_number().over(wseq) - 1 + F.lit(seq_base)).cast("long")
-            )
-        )
+        fresh = self._assign_drain_seq(fresh, seq_base, drained_files)
         n = fresh.count()
         if n:
             add = _checkpoint(fresh.select(*[f.name for f in FRONTIER_SCHEMA.fields]))
@@ -1160,34 +1186,15 @@ class CrawlEngine:
         offsets, then per-partition row_number + offset. Identical values
         to the global window because the order key is a strict total
         order — asserted by the crawl-order exact-match E2E suite run in
-        this mode."""
-        spark = items.sparkSession
-        n = max(2, spark.sparkContext.defaultParallelism)
-        d = (
-            items.repartitionByRange(n, *[F.col(c).asc() for c in self._SEQ_ORDER])
-            .sortWithinPartitions(*self._SEQ_ORDER)
-            .withColumn("_pid", F.spark_partition_id())
+        this mode. Shared machinery: operators.ordering.dense_ordinal
+        (also behind emit_ord and large enqueue-drain batches); the
+        stats-cutting _checkpoint rides in so the loop's plan statistics
+        stay truncated. The aux materialization is released with the
+        step's items checkpoint."""
+        return dense_ordinal(
+            items, list(self._SEQ_ORDER), base=seq_base, out_col="seq",
+            dtype="long", checkpoint=_checkpoint,
         )
-        d = _checkpoint(d)
-        counts = {
-            r["_pid"]: r["n"]
-            for r in d.groupBy("_pid").agg(F.count("*").alias("n")).collect()
-        }
-        offs, acc = [], seq_base
-        for pid in sorted(counts):
-            offs.append((pid, acc))
-            acc += counts[pid]
-        if not offs:
-            offs = [(0, seq_base)]
-        offs_df = self.spark.createDataFrame(offs, "_pid int, _off long")
-        w = Window.partitionBy("_pid").orderBy(*self._SEQ_ORDER)
-        out = (
-            d.join(F.broadcast(offs_df), "_pid")
-            .withColumn("seq", (F.row_number().over(w) - 1 + F.col("_off")).cast("long"))
-            .drop("_pid", "_off")
-        )
-        out._ckpt_aux = d  # released with the step's items checkpoint
-        return out
 
     # ------------------------------------------------------------------ #
     def run(self, seeds: list[str]) -> CrawlResult:

@@ -173,3 +173,68 @@ def test_replay_consumed_after_snapshot(spark, tmp_path):
     assert os.path.exists(
         os.path.join(eng.workdir, "enqueue_consumed", "step=1", "old.parquet")
     )
+
+
+def test_drain_seq_offset_matches_window(spark, tmp_path):
+    """_assign_drain_seq's distributed (dense_ordinal) form must assign
+    the exact seq values of the small-batch global window — same dense
+    range, same ORDER BY url — so the threshold switch can never change
+    a crawl."""
+    from crawler_spark.config import CrawlPolicy
+    from crawler_spark.plans.crawl import FRONTIER_SCHEMA, CrawlEngine
+
+    web = spark.createDataFrame(
+        [("http://h.test/s0", "h.test", 200, [], None)],
+        "url string, host_key string, status int, out_links array<string>, redirect_to string",
+    )
+    eng = CrawlEngine(
+        spark, web, policy=CrawlPolicy(obey_robots=False),
+        workdir=str(tmp_path / "work"),
+    )
+    fresh = spark.createDataFrame(
+        [(f"http://h{i % 7}.test/p{i:04d}", f"h{i % 7}.test",
+          0, 0, 0, 999, -1, 0, 0) for i in range(937)],
+        FRONTIER_SCHEMA,
+    )
+    via_window = eng._assign_drain_seq(fresh, 1000, [])  # 0 bytes → window
+    big = tmp_path / "big.bin"
+    big.write_bytes(b"x" * (CrawlEngine._DRAIN_OFFSET_BYTES + 1))
+    via_offset = eng._assign_drain_seq(fresh, 1000, [str(big)])
+    a = {(r["url"], r["seq"]) for r in via_window.collect()}
+    b = {(r["url"], r["seq"]) for r in via_offset.collect()}
+    assert a == b
+    assert {s for _, s in a} == set(range(1000, 1937))
+    # missing files (listing raced the stream) must fail safe → offset
+    via_raced = eng._assign_drain_seq(
+        fresh, 1000, [str(tmp_path / "vanished.parquet")]
+    )
+    assert {(r["url"], r["seq"]) for r in via_raced.collect()} == a
+
+
+def test_engine_merges_enqueued_offset_path(spark, tmp_path, monkeypatch):
+    """The S2 merge E2E with the distributed drain-seq path forced on:
+    enqueued URLs still crawl exactly once with correct tickets."""
+    import os
+
+    from crawler_spark.config import CrawlPolicy
+    from crawler_spark.plans.crawl import CrawlEngine
+    from crawler_spark.sources.fixtures import synth_web
+
+    monkeypatch.setattr(CrawlEngine, "_DRAIN_OFFSET_BYTES", 0)
+    fx = synth_web(n_pages=20, n_hosts=3, seed=15, error_rate=0.0, redirect_rate=0.0)
+    extra = [r["url"] for r in fx.rows[5:8]]
+    drop = str(tmp_path / "drop"); out = str(tmp_path / "enq"); ck = str(tmp_path / "ck")
+    os.makedirs(drop)
+    _write_seeds(drop, "s.txt", extra)
+    q = enqueue_stream(spark, drop, out, ck, lambda: None, available_now=True)
+    q.awaitTermination(120)
+
+    eng = CrawlEngine(
+        spark, fx.web_df(spark), host_policy=fx.host_policy_df(spark),
+        policy=CrawlPolicy(max_depth=0, obey_robots=False),
+        workdir=str(tmp_path / "work"), enqueue_dir=out,
+    )
+    got = eng.run(fx.seeds[:1])
+    emitted = [r["url"] for r in got.emitted.collect()]
+    for u in extra:
+        assert emitted.count(u) == 1, f"enqueued {u} crawled {emitted.count(u)}×"

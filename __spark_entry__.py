@@ -1385,6 +1385,87 @@ def q_store_state_machine(spark, sf_dir):
     return out
 
 
+def _stream_events(spark, sf_dir):
+    """events table phrased as the emitted-event stream schema
+    (streaming/metrics.EVENT_SCHEMA): user_id%50 plays host, event_type
+    plays outcome, error rows carry status 500."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.concat(F.lit("u://"), F.col("event_id").cast("string")).alias("url"),
+        F.concat(F.lit("h"), (F.col("user_id") % 50).cast("string")).alias("host"),
+        F.col("event_type").alias("outcome"),
+        F.when(F.col("event_type") == "error", 500).otherwise(200).cast("int").alias("status"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("emit_ms"),
+        F.col("event_id").alias("seq"),
+    )
+
+
+def q_stream_rollup(spark, sf_dir):
+    """C8 as a STREAM — the watermarked windowed metrics rollup
+    (streaming/metrics.fetch_rollup_stream) run to completion with
+    Trigger.AvailableNow over the event log: hourly (window, outcome)
+    counts published once per FINALIZED window (append mode; a window
+    is final when the watermark = max event time − 30 min passes its
+    end). The oracle re-derives exactly the finalized-window set in
+    SQL. Reference behavior: the monotone counter Stats the store
+    aggregates as the crawl runs (store.go:36-47)."""
+    import tempfile
+
+    from crawler_spark.streaming.metrics import (
+        fetch_rollup_stream, read_event_stream,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="stream_rollup_")
+    events_dir = os.path.join(tmp, "events")
+    out = os.path.join(tmp, "out")
+    ckpt = os.path.join(tmp, "ckpt")
+    # one file -> one data micro-batch: every event enters state before
+    # the finalizing no-data batch publishes closed windows
+    _stream_events(spark, sf_dir).coalesce(1).write.parquet(events_dir)
+    q = fetch_rollup_stream(
+        read_event_stream(spark, events_dir), out, ckpt,
+        window="1 hour", watermark="30 minutes", available_now=True,
+    )
+    q.awaitTermination(600)
+    return spark.read.parquet(out).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+        "outcome",
+        "n",
+        "n_err",
+    )
+
+
+def q_stream_host_budget(spark, sf_dir):
+    """C6 as a STREAM — the per-host lifetime response budget carried
+    in GroupState across micro-batches
+    (streaming/metrics.host_budget_stream): each event is admitted
+    while its host's admitted-so-far count is below the budget and
+    cancelled after (the incremental restatement of the batch rank
+    cancel, plans/crawl.py:173-203; the reference bumps the counter one
+    response at a time, schedule.go:256). Oracle: the equivalent
+    ROW_NUMBER rank rule over the same log."""
+    import tempfile
+
+    from crawler_spark.streaming.metrics import (
+        host_budget_stream, read_event_stream,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="stream_budget_")
+    events_dir = os.path.join(tmp, "events")
+    out = os.path.join(tmp, "out")
+    ckpt = os.path.join(tmp, "ckpt")
+    _stream_events(spark, sf_dir).coalesce(1).write.parquet(events_dir)
+    q = host_budget_stream(
+        read_event_stream(spark, events_dir), out, ckpt,
+        budget=120, available_now=True,
+    )
+    q.awaitTermination(600)
+    return spark.read.parquet(out).select(
+        "host", "url", "seq", "n_before", "verdict"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "frontier_topk": q_frontier_topk,
@@ -1436,6 +1517,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_html": q_crawl_html,
         "diskqueue_pop_order": q_diskqueue_pop_order,
         "store_state_machine": q_store_state_machine,
+        "stream_rollup": q_stream_rollup,
+        "stream_host_budget": q_stream_host_budget,
     }
 
 
@@ -2064,5 +2147,36 @@ def oracle_sql() -> dict[str, str]:
             "        d.url IS NOT NULL AS done"
             " FROM puts p LEFT JOIN upds u ON p.url = u.url"
             " LEFT JOIN dones d ON p.url = d.url"
+        ),
+        # finalized-window set: hourly windows whose end the watermark
+        # (max event-time ms - 30 min) has passed; emit_ms truncates ts
+        # to millis, mirrored via epoch_ms on both sides
+        "stream_rollup": (
+            "WITH ev AS ("
+            " SELECT event_type AS outcome,"
+            "        CASE WHEN event_type = 'error' THEN 500 ELSE 200 END AS status,"
+            "        date_trunc('hour', ts) AS ws"
+            " FROM events"
+            "), wm AS (SELECT max(epoch_ms(ts)) - 30*60*1000 AS wms FROM events)"
+            " SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,"
+            "        strftime(ws + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS window_end,"
+            "        outcome, count(*) AS n,"
+            "        count(CASE WHEN status >= 400 THEN 1 END) AS n_err"
+            " FROM ev, wm"
+            " WHERE epoch_ms(ws + INTERVAL 1 HOUR) <= wm.wms"
+            " GROUP BY 1, 2, 3"
+        ),
+        "stream_host_budget": (
+            "WITH r AS ("
+            " SELECT 'h' || CAST(user_id % 50 AS VARCHAR) AS host,"
+            "        'u://' || CAST(event_id AS VARCHAR) AS url,"
+            "        event_id AS seq,"
+            "        ROW_NUMBER() OVER ("
+            "          PARTITION BY user_id % 50 ORDER BY event_id) AS rn"
+            " FROM events)"
+            " SELECT host, url, seq,"
+            "        LEAST(rn - 1, 120) AS n_before,"
+            "        CASE WHEN rn <= 120 THEN 'admit' ELSE 'cancel' END AS verdict"
+            " FROM r"
         ),
     }

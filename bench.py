@@ -75,6 +75,11 @@ def main() -> None:
         # whole-crawl (the loop parsing real bodies via the extractor)
         "corpus_canonical",
         "crawl_html",
+        # r4 additions: the Structured-Streaming restatements (run to
+        # completion with AvailableNow inside the entry; wall includes
+        # stream startup + checkpoint commits)
+        "stream_rollup",
+        "stream_host_budget",
     ]
     # The minhash/simhash driver entries use the md5 hash family so the
     # DuckDB oracle can recompute them; the benchmark measures the

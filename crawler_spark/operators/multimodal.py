@@ -277,6 +277,47 @@ def payload_size_stats(payload: DataFrame) -> DataFrame:
     )
 
 
+def image_quality_verdict(
+    *,
+    min_w: int = 64,
+    min_h: int = 64,
+    max_aspect: float = 4.0,
+    min_bpp: float = 0.05,
+    max_bpp: float = 20.0,
+    min_caption_chars: int = 8,
+):
+    """The quality-gate verdict as a bare Column over the payload schema
+    (bytes, w, h, caption) — the row-local CASE that
+    ``image_quality_filter`` reports and the corpus pipeline filters on
+    directly (a gate that is a column expression must never cost a
+    join; plans/corpus.py uses this as ``where(verdict == 'keep')``)."""
+    n_bytes = F.octet_length("bytes")
+    # try_divide: a zero-pixel row must reach the bad_dims verdict, not
+    # raise DIVIDE_BY_ZERO under ANSI mode (bpp_e4 reports NULL for it)
+    bpp = F.try_divide(n_bytes, F.col("w").cast("long") * F.col("h"))
+    aspect_num = F.greatest(F.col("w"), F.col("h")).cast("double")
+    aspect_den = F.least(F.col("w"), F.col("h")).cast("double")
+    # NULL caption must reject, not slip through a null CASE branch
+    cap_len = F.length(F.trim(F.coalesce(F.col("caption"), F.lit(""))))
+    # NULL/non-positive dims must reject too: NULL comparisons are NULL,
+    # so without this leading branch a missing-metadata row would fall
+    # through every rule into otherwise('keep')
+    bad_dims = (
+        F.col("w").isNull() | F.col("h").isNull()
+        | (F.col("w") <= 0) | (F.col("h") <= 0)
+    )
+    return (
+        F.when(bad_dims, F.lit("bad_dims"))
+        .when(F.col("w") < min_w, F.lit("too_narrow"))
+        .when(F.col("h") < min_h, F.lit("too_short"))
+        .when(aspect_num / aspect_den > max_aspect, F.lit("extreme_aspect"))
+        .when(bpp < min_bpp, F.lit("low_entropy"))
+        .when(bpp > max_bpp, F.lit("suspicious_size"))
+        .when(cap_len < min_caption_chars, F.lit("caption_too_short"))
+        .otherwise(F.lit("keep"))
+    )
+
+
 def image_quality_filter(
     payload: DataFrame,
     *,
@@ -309,29 +350,15 @@ def image_quality_filter(
     suspicious_size, caption_too_short}.
     """
     n_bytes = F.octet_length("bytes")
-    # try_divide: a zero-pixel row must reach the bad_dims verdict, not
-    # raise DIVIDE_BY_ZERO under ANSI mode (bpp_e4 reports NULL for it)
     bpp = F.try_divide(n_bytes, F.col("w").cast("long") * F.col("h"))
-    aspect_num = F.greatest(F.col("w"), F.col("h")).cast("double")
-    aspect_den = F.least(F.col("w"), F.col("h")).cast("double")
-    # NULL caption must reject, not slip through a null CASE branch
     cap_len = F.length(F.trim(F.coalesce(F.col("caption"), F.lit(""))))
-    # NULL/non-positive dims must reject too: NULL comparisons are NULL,
-    # so without this leading branch a missing-metadata row would fall
-    # through every rule into otherwise('keep')
-    bad_dims = (
-        F.col("w").isNull() | F.col("h").isNull()
-        | (F.col("w") <= 0) | (F.col("h") <= 0)
-    )
-    verdict = (
-        F.when(bad_dims, F.lit("bad_dims"))
-        .when(F.col("w") < min_w, F.lit("too_narrow"))
-        .when(F.col("h") < min_h, F.lit("too_short"))
-        .when(aspect_num / aspect_den > max_aspect, F.lit("extreme_aspect"))
-        .when(bpp < min_bpp, F.lit("low_entropy"))
-        .when(bpp > max_bpp, F.lit("suspicious_size"))
-        .when(cap_len < min_caption_chars, F.lit("caption_too_short"))
-        .otherwise(F.lit("keep"))
+    verdict = image_quality_verdict(
+        min_w=min_w,
+        min_h=min_h,
+        max_aspect=max_aspect,
+        min_bpp=min_bpp,
+        max_bpp=max_bpp,
+        min_caption_chars=min_caption_chars,
     )
     return payload.select(
         "image_id",

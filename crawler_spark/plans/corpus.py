@@ -13,7 +13,8 @@ BASELINE.json input_hint payload shape
 (image_id, bytes, w, h, fmt, caption, phash).
 
 Scale story (all stages inherit their operators' plans):
-  * quality gate — pure JVM column CASE, bytes only reach octet_length;
+  * quality gate — pure JVM column CASE applied as a filter on the
+    scan (zero exchanges; bytes only reach octet_length);
   * caption dedup — ONE partial-aggregated groupBy (struct-min argmax);
   * survivor joins — semi/anti joins on image_id, broadcastable when
     the survivor id set is small, shuffle-hash otherwise (Spark picks);
@@ -51,15 +52,15 @@ def canonical_image_corpus(
     """
     from crawler_spark.operators.components import canonical_docs
     from crawler_spark.operators.multimodal import (
-        caption_dedup_best, image_quality_filter, phash_near_dups,
+        caption_dedup_best, image_quality_verdict, phash_near_dups,
     )
 
-    keeps = (
-        image_quality_filter(payload, **(quality_kwargs or {}))
-        .where(F.col("verdict") == "keep")
-        .select("image_id")
-    )
-    gated = payload.join(keeps, "image_id", "left_semi")
+    # The gate verdict is a row-local CASE, so gating is a FILTER on the
+    # scan — not the verdict-ids semi-join back against payload it would
+    # naively be (that join shuffles the whole corpus against itself;
+    # the filter costs zero exchanges and pushes into the source).
+    gate = image_quality_verdict(**(quality_kwargs or {}))
+    gated = payload.where(gate == "keep")
     best = caption_dedup_best(gated).select(
         F.col("keep_image_id").alias("image_id")
     )

@@ -201,6 +201,15 @@ def test_canonical_image_corpus_pipeline(spark):
     assert got[2]["px"] == 40_000
     assert got[5]["caption_key"] == "fifth caption"
 
+    # Plan shape: the quality gate is a FILTER on the scan, never a
+    # verdict-ids join back against the corpus — the final-keep plan
+    # carries exactly two joins (caption best-copy semi + drop anti).
+    plan = (
+        canonical_image_corpus(payload)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Join") == 2, plan
+
 
 def test_image_quality_null_dims(spark):
     """NULL or non-positive w/h must REJECT (bad_dims), not slip through

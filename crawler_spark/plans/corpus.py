@@ -15,9 +15,9 @@ BASELINE.json input_hint payload shape
 Scale story (all stages inherit their operators' plans):
   * quality gate — pure JVM column CASE applied as a filter on the
     scan (zero exchanges; bytes only reach octet_length);
-  * caption dedup — ONE partial-aggregated groupBy (struct-min argmax);
-  * survivor joins — semi/anti joins on image_id, broadcastable when
-    the survivor id set is small, shuffle-hash otherwise (Spark picks);
+  * caption dedup — ONE partial-aggregated groupBy whose widened
+    struct-min argmax emits the winner row itself (no winner-ids join
+    back against the corpus);
   * phash pairs — pigeonhole-blocked Hamming join, never all-pairs;
   * clustering — O(log d) label propagation, one generation of
     checkpoint blocks live at a time (state/ckpt.py release);
@@ -52,7 +52,7 @@ def canonical_image_corpus(
     """
     from crawler_spark.operators.components import canonical_docs
     from crawler_spark.operators.multimodal import (
-        caption_dedup_best, image_quality_verdict, phash_near_dups,
+        image_quality_verdict, phash_near_dups,
     )
 
     # The gate verdict is a row-local CASE, so gating is a FILTER on the
@@ -61,14 +61,46 @@ def canonical_image_corpus(
     # the filter costs zero exchanges and pushes into the source).
     gate = image_quality_verdict(**(quality_kwargs or {}))
     gated = payload.where(gate == "keep")
-    best = caption_dedup_best(gated).select(
-        F.col("keep_image_id").alias("image_id")
+
+    # Best copy per caption as ONE widened argmax aggregation: every
+    # column the downstream stages need (image_id, phash, w, h) rides
+    # inside the min-struct, so the winner ROW comes out of the groupBy
+    # directly — no winner-ids semi-join back against the corpus (that
+    # join re-shuffles every gated row; the agg moves one ~40-byte
+    # struct per (partition, distinct caption) after map-side combine).
+    # Same semantics as caption_dedup_best: max pixels, ties by
+    # image_id; the unique image_id field makes trailing struct fields
+    # comparison-inert, so the argmax stays deterministic.
+    px = F.coalesce(F.col("w").cast("long") * F.col("h"), F.lit(0).cast("long"))
+    survivors = (
+        gated.select(
+            F.lower(F.trim(F.col("caption"))).alias("caption_key"),
+            "image_id", "phash", "w", "h", px.alias("px"),
+        )
+        .groupBy("caption_key")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("px")).alias("neg_px"),
+                    F.col("image_id"),
+                    F.col("phash"),
+                    F.col("w"),
+                    F.col("h"),
+                )
+            ).alias("b")
+        )
+        .select(
+            "caption_key",
+            F.col("b.image_id").alias("image_id"),
+            F.col("b.phash").alias("phash"),
+            F.col("b.w").alias("w"),
+            F.col("b.h").alias("h"),
+        )
     )
-    survivors = gated.join(best, "image_id", "left_semi")
     pairs = phash_near_dups(survivors, radius=radius)
     kept = canonical_docs(survivors, pairs, "image_id")
     return kept.select(
         "image_id",
-        F.lower(F.trim(F.col("caption"))).alias("caption_key"),
+        "caption_key",
         (F.col("w").cast("long") * F.col("h")).alias("px"),
     )

@@ -201,14 +201,15 @@ def test_canonical_image_corpus_pipeline(spark):
     assert got[2]["px"] == 40_000
     assert got[5]["caption_key"] == "fifth caption"
 
-    # Plan shape: the quality gate is a FILTER on the scan, never a
-    # verdict-ids join back against the corpus — the final-keep plan
-    # carries exactly two joins (caption best-copy semi + drop anti).
+    # Plan shape: the quality gate is a FILTER on the scan (not a
+    # verdict-ids join) and the caption winner rides out of the argmax
+    # aggregation directly (not a winner-ids semi-join) — the final-keep
+    # plan carries exactly ONE join: the |pairs|-scale drop anti-join.
     plan = (
         canonical_image_corpus(payload)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert plan.count("Join") == 2, plan
+    assert plan.count("Join") == 1, plan
 
 
 def test_image_quality_null_dims(spark):

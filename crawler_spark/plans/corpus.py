@@ -26,6 +26,7 @@ Scale story (all stages inherit their operators' plans):
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -97,8 +98,20 @@ def canonical_image_corpus(
             F.col("b.h").alias("h"),
         )
     )
-    pairs = phash_near_dups(survivors, radius=radius)
-    kept = canonical_docs(survivors, pairs, "image_id")
+    # The clustering inside canonical_docs is EAGER (its label loop
+    # checkpoints per round), and the pigeonhole pair join reads
+    # survivors twice (both sides of the band self-join) — so cache
+    # survivors for the duration of that phase: the gate+argmax runs
+    # once instead of twice while pairs materialize. Released before
+    # returning (no storage outlives the call); the caller's final
+    # action recomputes the filter+argmax exactly once for the
+    # |survivors|-scale anti-join side.
+    survivors = survivors.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        pairs = phash_near_dups(survivors, radius=radius)
+        kept = canonical_docs(survivors, pairs, "image_id")
+    finally:
+        survivors.unpersist()
     return kept.select(
         "image_id",
         "caption_key",

@@ -301,23 +301,49 @@ def simhash(df: DataFrame, id_col: str, text_col: str, *, shingle_n: int = 3,
     return votes.select("id", acc.alias("simhash"))
 
 
-def simhash_near_dups(sh: DataFrame, *, radius: int = 3) -> DataFrame:
+def simhash_near_dups(sh: DataFrame, *, radius: int = 3,
+                      max_bucket: int = 4096) -> DataFrame:
     """Hamming-radius pairs over (id, simhash) — the BK-tree radius query
-    (bktree.go:21-62) as a join.
+    (bktree.go:21-62) as a join. Returns (id_a, id_b, hamming). EXACT
+    (every pair within radius is returned; no recall cap), with three
+    guards that keep the plan skew-proof at corpus scale:
 
-    Pigeonhole blocking: split the 64 bits into ``radius+1`` disjoint
-    blocks; two hashes within Hamming radius r must agree *exactly* on at
-    least one block, so the candidate space is an equi-join on
-    (block_id, block_value) followed by the exact bit_count filter.
-    Returns (id_a, id_b, hamming)."""
+    1. **Distinct-hash reduction.** Blocking runs over DISTINCT hash
+       values, not rows. Real perceptual-hash corpora are dominated by
+       exact-equal fingerprints (blank frames, boilerplate pages); a
+       value with 10^5 copies would otherwise sit in every one of its
+       blocks' buckets and pay a 10^10 within-bucket blowup. Equal-hash
+       pairs (hamming 0) are recovered by one output-bound equi
+       self-join; cross-hash pairs expand back through two id joins.
+    2. **Pigeonhole level 1.** The 64 bits split into ``radius+1``
+       disjoint blocks; two hashes within Hamming radius r must agree
+       *exactly* on ≥1 block, so candidates are an equi-join on
+       (block_id, block_value).
+    3. **Two-level refinement for heavy buckets.** A level-1 bucket
+       holding > ``max_bucket`` distinct hashes (correlated-bit skew —
+       natural-image pHash bits are far from uniform) is neither dropped
+       (that would lose pairs) nor joined directly (quadratic). Its rows
+       re-pigeonhole the 64−w complement bits — packed contiguous by
+       cutting the agreed block out of the hash — into ``radius+1``
+       sub-blocks: a qualifying pair inside the bucket has all ≤r
+       differing bits in the complement, so it must also agree exactly
+       on ≥1 sub-block. The candidate join for heavy buckets keys on
+       (block, value, sub_block, sub_value) — roughly double the key
+       entropy. Heavy keys are found by a partial-aggregated count and
+       broadcast (rare by construction, the `_banded` technique), so the
+       split costs no sort and no extra full-table shuffle.
+    """
     blocks = min(radius + 1, 32)
     width = 64 // blocks
     specs = []  # (block_id, shift, bits)
     for i in range(blocks):
         bits = width + (64 - width * blocks if i == blocks - 1 else 0)
         specs.append((i, i * width, bits))
-    exploded = sh.select(
-        "id",
+
+    members = sh.select("id", "simhash")
+    dh = members.select("simhash").distinct().persist(StorageLevel.MEMORY_AND_DISK)
+
+    dex = dh.select(
         "simhash",
         F.explode(
             F.array(*[
@@ -330,17 +356,106 @@ def simhash_near_dups(sh: DataFrame, *, radius: int = 3) -> DataFrame:
                 for (i, shift, bits) in specs
             ])
         ).alias("e"),
-    ).select("id", "simhash", "e.blk", "e.bv")
-    a = exploded.select("blk", "bv", F.col("id").alias("id_a"), F.col("simhash").alias("h_a"))
-    b = exploded.select("blk", "bv", F.col("id").alias("id_b"), F.col("simhash").alias("h_b"))
-    return (
-        a.join(b, ["blk", "bv"])
-        .where(F.col("id_a") < F.col("id_b"))
+    ).select("simhash", "e.blk", "e.bv")
+
+    heavy_keys = (
+        dex.groupBy("blk", "bv")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > max_bucket)
+        .select("blk", "bv")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    light = dex.join(F.broadcast(heavy_keys), ["blk", "bv"], "left_anti")
+    light_pairs = (
+        light.select("blk", "bv", F.col("simhash").alias("h_a"))
+        .join(light.select("blk", "bv", F.col("simhash").alias("h_b")), ["blk", "bv"])
+        .where(F.col("h_a") < F.col("h_b"))
+        .select("h_a", "h_b")
+    )
+
+    # Complement packing: cut block i's bit-window out of the hash so the
+    # remaining 64−bits positions are contiguous — low bits stay, high
+    # bits shift down by the window width (unsigned; sign bit is data).
+    comp = None
+    for (i, shift, bits) in specs:
+        lowmask = (1 << shift) - 1
+        if shift == 0:
+            expr = F.shiftrightunsigned(F.col("simhash"), bits)
+        else:
+            expr = (
+                F.col("simhash").bitwiseAND(F.lit(lowmask))
+                .bitwiseOR(
+                    F.shiftrightunsigned(F.col("simhash"), bits)
+                    .bitwiseAND(F.lit(~lowmask))
+                )
+            )
+        comp = (F.when(F.col("blk") == i, expr) if comp is None
+                else comp.when(F.col("blk") == i, expr))
+    # Sub-blocks over the minimum complement width; the last sub-block is
+    # open-ended (plain shift) so any extra high bits of a wider
+    # complement ride in it — one uniform expression for every blk.
+    cw = width * (blocks - 1)
+    swidth = max(1, cw // (radius + 1))
+
+    def sub_val(j):
+        if j < radius:
+            return (F.shiftrightunsigned(F.col("comp"), j * swidth)
+                    .bitwiseAND(F.lit((1 << swidth) - 1)))
+        return F.shiftrightunsigned(F.col("comp"), radius * swidth)
+
+    hsub = (
+        dex.join(F.broadcast(heavy_keys), ["blk", "bv"], "left_semi")
+        .withColumn("comp", comp)
+        .select(
+            "blk", "bv", "simhash",
+            F.explode(
+                F.array(*[
+                    F.struct(F.lit(j).alias("sblk"), sub_val(j).alias("sbv"))
+                    for j in range(radius + 1)
+                ])
+            ).alias("e"),
+        )
+        .select("blk", "bv", "simhash", "e.sblk", "e.sbv")
+    )
+    heavy_pairs = (
+        hsub.select("blk", "bv", "sblk", "sbv", F.col("simhash").alias("h_a"))
+        .join(
+            hsub.select("blk", "bv", "sblk", "sbv", F.col("simhash").alias("h_b")),
+            ["blk", "bv", "sblk", "sbv"],
+        )
+        .where(F.col("h_a") < F.col("h_b"))
+        .select("h_a", "h_b")
+    )
+
+    cand = (
+        light_pairs.union(heavy_pairs)
         .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
         .where(F.col("hamming") <= radius)
-        .select("id_a", "id_b", "hamming")
+        # a pair may collide in several (possibly mixed light/heavy)
+        # blocks; hamming is a function of the two hashes, so distinct
+        # on the triple is exact pair dedup — and it runs BEFORE the id
+        # expansion, on the (smaller) distinct-hash pair set
         .distinct()
     )
+    cross = (
+        cand.join(members.select(F.col("simhash").alias("h_a"),
+                                 F.col("id").alias("ia")), "h_a")
+        .join(members.select(F.col("simhash").alias("h_b"),
+                             F.col("id").alias("ib")), "h_b")
+        .select(
+            F.least("ia", "ib").alias("id_a"),
+            F.greatest("ia", "ib").alias("id_b"),
+            "hamming",
+        )
+    )
+    eq_pairs = (
+        members.select("simhash", F.col("id").alias("id_a"))
+        .join(members.select("simhash", F.col("id").alias("id_b")), "simhash")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                F.lit(0).cast("integer").alias("hamming"))
+    )
+    return cross.select("id_a", "id_b", "hamming").union(eq_pairs)
 
 
 # --------------------------------------------------------------------- #

@@ -406,13 +406,15 @@ def caption_dedup_best(payload: DataFrame, *, caption_norm=None) -> DataFrame:
     )
 
 
-def phash_near_dups(payload: DataFrame, *, radius: int = 6) -> DataFrame:
+def phash_near_dups(payload: DataFrame, *, radius: int = 6,
+                    max_bucket: int = 4096) -> DataFrame:
     """Perceptual-hash near-duplicate pairs (image analog of simhash
-    near-dup; reuses the pigeonhole-blocked Hamming join)."""
+    near-dup; reuses the exact skew-proof pigeonhole Hamming join —
+    distinct-hash reduction + two-level blocking for heavy buckets)."""
     from crawler_spark.operators.dedup import simhash_near_dups
 
     sh = payload.select(F.col("image_id").alias("id"), F.col("phash").alias("simhash"))
-    return simhash_near_dups(sh, radius=radius)
+    return simhash_near_dups(sh, radius=radius, max_bucket=max_bucket)
 
 
 def validate_payloads(

@@ -123,6 +123,67 @@ def test_simhash_near_dups(docs):
     assert (1, 5) not in got
 
 
+def _hamming64(a, b):
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def test_simhash_near_dups_adversarial_exact(spark):
+    """The skew-proof pigeonhole join must be EXACT on data built to
+    trigger every path: an identical-hash clique (distinct-hash
+    reduction + eq-pair expansion), a heavy level-1 bucket (two-level
+    complement re-blocking), and uniform background (light path)."""
+    rng = random.Random(7)
+    radius = 6
+
+    def r64():
+        return rng.getrandbits(64) - (1 << 63)
+
+    rows = []
+    nid = 0
+
+    def add(h):
+        nonlocal nid
+        rows.append((nid, h))
+        nid += 1
+
+    # identical-hash clique: 12 copies -> C(12,2)=66 hamming-0 pairs
+    clique = r64()
+    for _ in range(12):
+        add(clique)
+    # heavy bucket: 30 DISTINCT hashes agreeing on block 0 (low 9 bits
+    # for radius 6); a few of them within radius of each other
+    base = r64() & ~0x1FF | 0x155
+    add(base)
+    add(base ^ (0b11 << 20))            # hamming 2 from base
+    add(base ^ (0b10101 << 40))         # hamming 3 from base
+    seen_vals = {clique, base, base ^ (0b11 << 20), base ^ (0b10101 << 40)}
+    while len(seen_vals) < 4 + 27:
+        h = (r64() & ~0x1FF) | (base & 0x1FF)  # same block-0 value
+        if h not in seen_vals:
+            seen_vals.add(h)
+            add(((h + 2**63) % 2**64) - 2**63)
+    # uniform background
+    for _ in range(50):
+        add(r64())
+
+    expected = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            d = _hamming64(rows[i][1], rows[j][1])
+            if d <= radius:
+                ia, ib = rows[i][0], rows[j][0]
+                expected.add((min(ia, ib), max(ia, ib), d))
+    assert len(expected) > 66, "planted near-dups must survive construction"
+
+    sh = spark.createDataFrame(rows, "id long, simhash long")
+    # the 30-distinct-hash block-0 bucket exceeds max_bucket=8, forcing
+    # the two-level heavy path; a huge cap keeps everything light
+    for cap in (8, 10**9):
+        got = {(r["id_a"], r["id_b"], r["hamming"])
+               for r in simhash_near_dups(sh, radius=radius, max_bucket=cap).collect()}
+        assert got == expected, (cap, len(got), len(expected))
+
+
 def test_simhash_deterministic(docs, spark):
     a = {r["id"]: r["simhash"] for r in simhash(docs, "doc_id", "text").collect()}
     b = {r["id"]: r["simhash"] for r in simhash(docs, "doc_id", "text").collect()}

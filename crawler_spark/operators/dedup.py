@@ -101,6 +101,51 @@ def minhash_signatures(
     return sig.select("id", F.array(*[f"h{i}" for i in range(k)]).alias("sig"))
 
 
+def _sig_groups(sig: DataFrame):
+    """Collapse identical signatures into groups: returns
+    (groups = (sig, gid) one row per DISTINCT signature vector with
+    gid = min member id, mem = (id, gid) membership, persisted).
+
+    This is the distinct-value reduction of the Hamming join applied to
+    LSH: exact-duplicate documents (the most common duplicate type)
+    share a signature, so a value with c copies becomes ONE banded join
+    row instead of c rows in every band bucket — and, crucially, its
+    pairs can never be lost to the degenerate-bucket cap, because
+    equal-signature pairs are emitted by a separate output-bound equi
+    self-join that bypasses banding entirely."""
+    groups = sig.groupBy("sig").agg(F.min("id").alias("gid"))
+    mem = sig.join(groups, "sig").select("id", "gid") \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    return groups, mem
+
+
+def _expand_group_pairs(cand: DataFrame, mem: DataFrame, extra: tuple = ()) -> DataFrame:
+    """(gid_a, gid_b[, extra]) group-pairs → (id_a, id_b[, extra]) member
+    pairs, id_a < id_b. Groups are disjoint id sets, so expansion
+    introduces no duplicate pairs."""
+    return (
+        cand.join(mem.select(F.col("gid").alias("gid_a"), F.col("id").alias("ia")), "gid_a")
+        .join(mem.select(F.col("gid").alias("gid_b"), F.col("id").alias("ib")), "gid_b")
+        .select(
+            F.least("ia", "ib").alias("id_a"),
+            F.greatest("ia", "ib").alias("id_b"),
+            *extra,
+        )
+    )
+
+
+def _equal_sig_pairs(mem: DataFrame, extra: tuple = ()) -> DataFrame:
+    """All (id_a < id_b) pairs inside each identical-signature group —
+    output-bound (these pairs ARE the result for exact dups); never
+    subject to banding or the bucket cap."""
+    return (
+        mem.select("gid", F.col("id").alias("id_a"))
+        .join(mem.select("gid", F.col("id").alias("id_b")), "gid")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", *extra)
+    )
+
+
 def lsh_candidate_pairs(
     sig: DataFrame, *, bands: int = 8, rows: int = 4, max_bucket: int = 1000,
     feature_hash: str = "xxhash64",
@@ -108,19 +153,26 @@ def lsh_candidate_pairs(
     """Candidate near-dup pairs from banded minhash signatures.
 
     bands×rows must equal the signature length. Pairs (id_a < id_b) that
-    collide in ≥1 band. ``max_bucket`` drops degenerate buckets (e.g. the
-    empty-document signature) to bound join skew — dropped buckets are the
-    operator's documented coverage cap."""
-    b = _banded(sig, bands=bands, rows=rows, max_bucket=max_bucket,
+    collide in ≥1 band. Banding runs over DISTINCT signature vectors
+    (`_sig_groups`): equal-signature pairs are always returned (they
+    collide in every band by definition, and are produced by an
+    output-bound self-join instead of the banded one), so ``max_bucket``
+    now only drops buckets where > max_bucket DIFFERENT signatures
+    collide in one band — genuine hash degeneracy, the operator's
+    documented coverage cap."""
+    groups, mem = _sig_groups(sig)
+    b = _banded(groups.select(F.col("gid").alias("id"), "sig"),
+                bands=bands, rows=rows, max_bucket=max_bucket,
                 feature_hash=feature_hash)
-    left = b.select(F.col("band"), F.col("bh"), F.col("id").alias("id_a"))
-    right = b.select(F.col("band"), F.col("bh"), F.col("id").alias("id_b"))
-    return (
+    left = b.select(F.col("band"), F.col("bh"), F.col("id").alias("gid_a"))
+    right = b.select(F.col("band"), F.col("bh"), F.col("id").alias("gid_b"))
+    cand = (
         left.join(right, ["band", "bh"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        .where(F.col("gid_a") < F.col("gid_b"))
+        .select("gid_a", "gid_b")
         .distinct()
     )
+    return _expand_group_pairs(cand, mem).union(_equal_sig_pairs(mem))
 
 
 def _banded(
@@ -172,6 +224,7 @@ def minhash_near_dups(
     shingle_n: int = 3,
     threshold: float = 0.6,
     feature_hash: str = "xxhash64",
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """End-to-end MinHash near-dup: signatures → LSH candidates →
     signature-estimated Jaccard filter. Returns (id_a, id_b, est_jaccard).
@@ -180,20 +233,30 @@ def minhash_near_dups(
     expensive subtree (shingle explode + k map-side mins), so it is
     computed ONCE — persisted MEMORY_AND_DISK (n_docs × (k+1) compact
     columns, a tiny fraction of the corpus) instead of being re-derived
-    by every consumer branch. Signatures ride THROUGH the band self-join
-    (both sides share one exchange, reused by Spark), so the Jaccard
-    estimate needs no further joins; the estimate is a codegen'd
-    higher-order function over the two carried arrays."""
+    by every consumer branch. Banding runs over DISTINCT signature
+    vectors (`_sig_groups`): an exact-duplicate clique collapses to one
+    banded row, its hamming-0 analog — the equal-signature pairs
+    (est_jaccard 1.0 by definition) — comes from an output-bound equi
+    self-join that the degenerate-bucket cap can never drop (previously
+    a clique larger than max_bucket lost ALL its pairs: every one of
+    its band buckets was over the cap). Signatures ride THROUGH the
+    banded self-join (both sides share one exchange, reused by Spark),
+    so the Jaccard estimate needs no further joins; the estimate is a
+    codegen'd higher-order function over the two carried arrays, and
+    pair dedup (`distinct`) runs on the smaller group-pair set BEFORE
+    member expansion."""
     sig = minhash_signatures(df, id_col, text_col, k=k, shingle_n=shingle_n,
                              feature_hash=feature_hash)
     sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
-    b = _banded(sig, bands=bands, rows=rows, max_bucket=1000,
+    groups, mem = _sig_groups(sig)
+    b = _banded(groups.select(F.col("gid").alias("id"), "sig"),
+                bands=bands, rows=rows, max_bucket=max_bucket,
                 feature_hash=feature_hash, carry=("sig",))
-    left = b.select("band", "bh", F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
-    right = b.select("band", "bh", F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
-    est = (
+    left = b.select("band", "bh", F.col("id").alias("gid_a"), F.col("sig").alias("sig_a"))
+    right = b.select("band", "bh", F.col("id").alias("gid_b"), F.col("sig").alias("sig_b"))
+    cand = (
         left.join(right, ["band", "bh"])
-        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.col("gid_a") < F.col("gid_b"))
         .withColumn(
             "est_jaccard",
             F.aggregate(
@@ -204,12 +267,17 @@ def minhash_near_dups(
             / F.lit(k),
         )
         .where(F.col("est_jaccard") >= threshold)
-        # a pair colliding in several bands repeats with the SAME
-        # estimate (it is a function of the two signatures alone), so
-        # distinct on the triple is exact pair dedup
-        .select("id_a", "id_b", "est_jaccard")
+        # a group-pair colliding in several bands repeats with the SAME
+        # estimate (a function of the two signatures alone), so distinct
+        # on the triple is exact pair dedup
+        .select("gid_a", "gid_b", "est_jaccard")
         .distinct()
     )
+    est = _expand_group_pairs(cand, mem, extra=("est_jaccard",))
+    if threshold <= 1.0:
+        est = est.union(
+            _equal_sig_pairs(mem, extra=(F.lit(1.0).alias("est_jaccard"),))
+        )
     return est
 
 

@@ -235,12 +235,31 @@ def test_embedding_near_dups(emb):
     assert (0, 100) in got and (0, 101) in got and (100, 101) in got
 
 
-def test_lsh_bucket_cap_drops_degenerate(spark):
-    # 20 identical empty-ish docs all collide; cap of 10 drops the bucket
-    df = spark.createDataFrame([(i, "xx") for i in range(20)], "doc_id long, text string")
+def test_lsh_identical_sigs_survive_bucket_cap(spark):
+    # 20 identical docs share one signature; since round 4 they collapse
+    # to ONE banded row (distinct-signature reduction) and their
+    # C(20,2)=190 pairs come from the output-bound equal-signature
+    # self-join — the cap can no longer drop an exact-dup clique
+    df = spark.createDataFrame(
+        [(i, "the exact same boilerplate page body") for i in range(20)],
+        "doc_id long, text string")
     sig = minhash_signatures(df, "doc_id", "text")
     pairs = lsh_candidate_pairs(sig, max_bucket=10)
-    assert pairs.count() == 0
+    assert pairs.count() == 190
+    # the end-to-end operator finds the clique too, at est 1.0
+    nd = minhash_near_dups(df, "doc_id", "text", max_bucket=10).collect()
+    assert len(nd) == 190 and all(r["est_jaccard"] == 1.0 for r in nd)
+
+
+def test_lsh_bucket_cap_drops_diverse_degenerate(spark):
+    # 20 DIFFERENT signatures (last band varies) that collide in the
+    # first 7 of 8 bands: every shared bucket holds 20 distinct
+    # signatures > cap 10, so the cap drops them — the documented
+    # coverage cap now only ever bites genuine hash degeneracy
+    rows = [(i, [7] * 28 + [i] * 4) for i in range(20)]
+    sig = spark.createDataFrame(rows, "id long, sig array<long>")
+    assert lsh_candidate_pairs(sig, max_bucket=10).count() == 0
+    assert lsh_candidate_pairs(sig, max_bucket=1000).count() == 190
 
 
 def test_ivf_topk_matches_brute_force_on_clusters(spark):

@@ -298,14 +298,28 @@ def ngram_jaccard_pairs(
 
     Scale: the shingle self-join is bounded by dropping shingles that
     occur in > max_shingle_freq docs (ultra-common n-grams contribute
-    almost nothing to discrimination but dominate join fan-out)."""
+    almost nothing to discrimination but dominate join fan-out), and the
+    join runs over DISTINCT texts: an exact-duplicate clique collapses
+    to one row per side (its pairs — jaccard 1.0 by definition — come
+    from an output-bound self-join), so boilerplate duplicated 10^5
+    times costs group-size, not group-size² · shingles, join rows.
+    Document frequency stays row-weighted (a shingle in c copies of one
+    text still counts c), so the cap's shingle selection is byte-exact
+    with the per-row plan."""
     df = _ensure_parallelism(df)
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(char_shingles(F.col(text_col), shingle_n))).alias("sh"),
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")) \
+        .where(F.size(char_shingles(F.col("text"), shingle_n)) > 0)
+    groups = base.groupBy("text").agg(
+        F.min("id").alias("gid"), F.count(F.lit(1)).alias("gsize"))
+    mem = base.join(groups, "text").select("id", "gid") \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    sh = groups.select(
+        F.col("gid").alias("id"),
+        "gsize",
+        F.explode(F.array_distinct(char_shingles(F.col("text"), shingle_n))).alias("sh"),
     )
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    freq = sh.groupBy("sh").agg(F.count("*").alias("df_"))
+    freq = sh.groupBy("sh").agg(F.sum("gsize").alias("df_"))
     sh2 = sh.join(freq.where(F.col("df_") <= max_shingle_freq).select("sh"), "sh")
     inter = (
         sh2.select(F.col("id").alias("id_a"), "sh")
@@ -314,13 +328,19 @@ def ngram_jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_inter"))
     )
-    return (
+    cand = (
         inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
         .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
         .withColumn("jaccard", F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
         .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select(F.col("id_a").alias("gid_a"), F.col("id_b").alias("gid_b"), "jaccard")
     )
+    out = _expand_group_pairs(cand, mem, extra=("jaccard",))
+    if threshold <= 1.0:
+        out = out.union(
+            _equal_sig_pairs(mem, extra=(F.lit(1.0).alias("jaccard"),))
+        )
+    return out
 
 
 # --------------------------------------------------------------------- #
@@ -549,10 +569,23 @@ def embedding_near_dups(
     recall at cosine 0.95 (collision prob (1−θ/π)^bits, θ≈0.318 rad) —
     the defaults here give 1−(1−p^8)^6 ≈ 0.96 expected recall, measured
     ≥0.95 on the planted-dup corpus in tests/test_text_dedup.py.
+
+    Hashing and candidate joins run over DISTINCT raw vectors (the same
+    reduction as the Hamming and LSH joins): a vector embedded for 10^5
+    identical images collides with itself in EVERY table — a quadratic
+    within-bucket blowup for pairs known by construction. Those pairs
+    come instead from an output-bound equi self-join scored by the
+    group vector's self-cosine (1.0, or NaN for zero vectors, which the
+    threshold filter then drops exactly as the per-row plan did).
     Returns (id_a, id_b, cosine)."""
     from crawler_spark.operators.similarity import srp_bucket, unit_norm
 
-    e = emb.select(F.col(id_col).alias("id"), unit_norm(F.col(vec_col)).alias("v"))
+    raw = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("rv"))
+    groups = raw.groupBy("rv").agg(F.min("id").alias("gid"))
+    mem = raw.join(groups, "rv").select("id", "gid") \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    e = groups.select(F.col("gid").alias("id"), unit_norm(F.col("rv")).alias("v")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     tables = F.array(*[
         F.struct(
             F.lit(t).alias("tbl"),
@@ -562,21 +595,34 @@ def embedding_near_dups(
     ])
     b = e.select("id", F.explode(tables).alias("e")).select("id", "e.tbl", "e.bkt")
     cand = (
-        b.select("tbl", "bkt", F.col("id").alias("id_a"))
-        .join(b.select("tbl", "bkt", F.col("id").alias("id_b")), ["tbl", "bkt"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        b.select("tbl", "bkt", F.col("id").alias("gid_a"))
+        .join(b.select("tbl", "bkt", F.col("id").alias("gid_b")), ["tbl", "bkt"])
+        .where(F.col("gid_a") < F.col("gid_b"))
+        .select("gid_a", "gid_b")
         .distinct()
     )
-    va = e.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
-    vb = e.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    va = e.select(F.col("id").alias("gid_a"), F.col("v").alias("v_a"))
+    vb = e.select(F.col("id").alias("gid_b"), F.col("v").alias("v_b"))
     dot = F.aggregate(
         F.zip_with("v_a", "v_b", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
-    return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
+    scored = (
+        cand.join(va, "gid_a")
+        .join(vb, "gid_b")
         .withColumn("cosine", dot)
         .where(F.col("cosine") >= threshold)
+        .select("gid_a", "gid_b", "cosine")
+    )
+    self_dot = F.aggregate(
+        F.zip_with("v", "v", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    gscore = e.select(F.col("id").alias("gid"), self_dot.alias("cosine")) \
+        .where(F.col("cosine") >= threshold)
+    eq = (
+        mem.select("gid", F.col("id").alias("id_a"))
+        .join(mem.select("gid", F.col("id").alias("id_b")), "gid")
+        .where(F.col("id_a") < F.col("id_b"))
+        .join(gscore, "gid")
         .select("id_a", "id_b", "cosine")
     )
+    return _expand_group_pairs(scored, mem, extra=("cosine",)).union(eq)

@@ -235,6 +235,35 @@ def test_embedding_near_dups(emb):
     assert (0, 100) in got and (0, 101) in got and (100, 101) in got
 
 
+def test_embedding_near_dups_identical_and_zero_vectors(spark):
+    # 10 rows of one identical vector must yield C(10,2)=45 pairs at
+    # cosine 1.0 from the equal-vector path (they collapse to one
+    # hashed row); zero vectors normalize to NaN and must emit nothing
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(10)]
+    rows += [(100 + i, [0.0, 0.0, 0.0, 0.0]) for i in range(3)]
+    rows.append((200, [-5.0, 1.0, 0.5, 2.0]))
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = [(r["id_a"], r["id_b"], r["cosine"])
+           for r in embedding_near_dups(e, "vec_id", "embedding", threshold=0.95).collect()]
+    assert len(got) == 45
+    assert all(a < 10 and b < 10 and abs(c - 1.0) < 1e-6 for a, b, c in got)
+
+
+def test_ngram_jaccard_identical_clique_survives_freq_cap(spark):
+    # 30 identical docs: every shingle has row-weighted df 30 > cap 10,
+    # so the banded/cross path sees nothing — the clique's C(30,2)=435
+    # pairs (jaccard 1.0 by definition) come from the equal-text path.
+    # Pre-round-4, these pairs were silently LOST to the cap.
+    df = spark.createDataFrame(
+        [(i, "same boilerplate footer text") for i in range(30)]
+        + [(100, "an unrelated different document")],
+        "doc_id long, text string")
+    got = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5,
+                              max_shingle_freq=10).collect()
+    assert len(got) == 435
+    assert all(r["jaccard"] == 1.0 and r["id_a"] < r["id_b"] < 100 for r in got)
+
+
 def test_lsh_identical_sigs_survive_bucket_cap(spark):
     # 20 identical docs share one signature; since round 4 they collapse
     # to ONE banded row (distinct-signature reduction) and their

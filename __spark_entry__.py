@@ -1157,6 +1157,67 @@ _ROBOTS_FIXTURE_PATHS = [
 ]
 
 
+def q_corpus_canonical_docs(spark, sf_dir):
+    """The end-to-end TEXT corpus pipeline (plans/corpus.
+    canonical_text_corpus) — the document analog of `corpus_canonical`:
+    docs → quality-score gate → MinHash+LSH near-dup pairs (md5 family
+    so the oracle recomputes signatures exactly; group-reduced banding)
+    → connected-component clustering → canonical corpus (min-id
+    representative per cluster + unpaired survivors). Every stage is
+    also oracle-checked standalone (quality_filter, minhash_near_dups,
+    dedup_groups)."""
+    from crawler_spark.plans.corpus import canonical_text_corpus
+
+    d = _t(spark, sf_dir, "documents")
+    out = canonical_text_corpus(d, "doc_id", "text", feature_hash="md5")
+    return out.select("doc_id", F.round("quality", 6).alias("quality"))
+
+
+def _corpus_canonical_docs_sql() -> str:
+    """Quality gate (the _QUALITY_SQL formula, unrounded filter) →
+    group-reduced minhash pair CTEs over the gated docs → recursive-CTE
+    min-reachable closure → anti-join the non-representative members."""
+    pair_ctes = _minhash_pair_ctes(source="gdocs")
+    return f"""
+WITH RECURSIVE qb AS (
+  SELECT doc_id, text,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END AS nt,
+    length(text) AS n,
+    length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS np,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS na,
+    length(regexp_replace(trim(text), '\\s+', '', 'g')) AS nns
+  FROM documents
+), qt AS (
+  SELECT doc_id, text,
+    (least(CAST(nt AS DOUBLE) / 100.0, 1.0)
+     + CASE WHEN n = 0 THEN 0.0 ELSE CAST(na AS DOUBLE) / n END
+     + 1.0 - least((CASE WHEN n = 0 THEN 0.0 ELSE CAST(np AS DOUBLE) / n END) * 5.0, 1.0)
+     + CASE WHEN (CASE WHEN nt = 0 THEN 0.0 ELSE CAST(nns AS DOUBLE) / nt END) >= 3.0
+             AND (CASE WHEN nt = 0 THEN 0.0 ELSE CAST(nns AS DOUBLE) / nt END) <= 10.0
+            THEN 1.0 ELSE 0.5 END) / 4.0 AS quality
+  FROM qb
+), gdocs AS (
+  SELECT doc_id, text, quality FROM qt WHERE quality >= 0.5
+), {pair_ctes}, ed AS (
+  SELECT id_a AS u, id_b AS v FROM pairs WHERE id_a <> id_b
+  UNION
+  SELECT id_b, id_a FROM pairs WHERE id_a <> id_b
+), r AS (
+  SELECT u, u AS m FROM (SELECT DISTINCT u FROM ed)
+  UNION
+  SELECT e.v AS u, r.m FROM r JOIN ed e ON e.u = r.u
+), comp AS (
+  SELECT u AS id, min(m) AS component FROM r GROUP BY u
+), dropset AS (
+  SELECT id FROM comp WHERE id <> component
+)
+SELECT g.doc_id, ROUND(g.quality, 6) AS quality
+FROM gdocs g LEFT JOIN dropset d ON d.id = g.doc_id
+WHERE d.id IS NULL
+"""
+
+
 def q_robots_gate(spark, sf_dir):
     """S10/L4 — the production RFC 9309 longest-match gate
     (robots_gate_udf → allowed(): '*' wildcards, terminal-'$' anchors
@@ -1511,6 +1572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_quality": q_image_quality,
         "caption_dedup_best": q_caption_dedup_best,
         "corpus_canonical": q_corpus_canonical,
+        "corpus_canonical_docs": q_corpus_canonical_docs,
         "robots_gate": q_robots_gate,
         "extract_links": q_extract_links,
         "crawl_bfs": q_crawl_bfs,
@@ -1612,40 +1674,64 @@ JOIN sizes sb ON sb.doc_id = id_b
 WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
 """
 
-def _minhash_oracle_sql(k=32, bands=8, rows=4, threshold=0.6, max_bucket=1000):
-    """DuckDB recomputation of the md5-family MinHash+LSH operator:
-    same shingling (3-gram over normalized text), same per-permutation
-    hash min(md5('<i>_'||sh)), same band hash md5(h||'|'||...), same
-    degenerate-bucket cap, same estimated-Jaccard filter."""
+def _minhash_pair_ctes(k=32, bands=8, rows=4, threshold=0.6,
+                       max_bucket=1000, source="documents"):
+    """CTE chain defining ``pairs`` = (id_a, id_b, est_jaccard) with the
+    group-reduced semantics of operators/dedup.minhash_near_dups: same
+    shingling (3-gram over normalized text), same per-permutation hash
+    min(md5('<i>_'||sh)), banding over DISTINCT signature vectors
+    (gid = min member id), the degenerate-bucket cap counted in distinct
+    signatures, equal-signature pairs emitted at est 1.0 outside the
+    banded path, and cross-group estimates expanded back to members."""
     mins = ", ".join(f"min(md5('{i}_' || sh)) AS h{i}" for i in range(k))
+    hcols = ", ".join(f"h{i}" for i in range(k))
     band_selects = " UNION ALL ".join(
-        "SELECT doc_id, {b} AS band, md5({cc}) AS bh FROM sig".format(
+        "SELECT gid, {b} AS band, md5({cc}) AS bh FROM sgrp".format(
             b=b, cc=" || '|' || ".join(f"h{b * rows + j}" for j in range(rows)))
         for b in range(bands)
     )
     eq = " + ".join(f"CAST(sa.h{i} = sb.h{i} AS INT)" for i in range(k))
-    return f"""
-WITH nt AS (
-  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t FROM documents
-), sh AS (
+    return f"""nt AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t FROM {source}
+), shg AS (
   SELECT DISTINCT doc_id, substr(t, CAST(i AS BIGINT), 3) AS sh
   FROM nt, UNNEST(range(1, greatest(length(t) - 1, 1))) AS u(i)
   WHERE length(t) >= 3
 ), sig AS (
-  SELECT doc_id, {mins} FROM sh GROUP BY doc_id
-), bands AS ({band_selects}
-), keep AS (
-  SELECT band, bh FROM bands GROUP BY band, bh HAVING count(*) <= {max_bucket}
+  SELECT doc_id, {mins} FROM shg GROUP BY doc_id
+), sgrp AS (
+  SELECT min(doc_id) AS gid, {hcols} FROM sig GROUP BY {hcols}
+), mem AS (
+  SELECT s.doc_id, g.gid FROM sig s JOIN sgrp g USING ({hcols})
+), bandrows AS ({band_selects}
+), keepb AS (
+  SELECT band, bh FROM bandrows GROUP BY band, bh HAVING count(*) <= {max_bucket}
 ), b2 AS (
-  SELECT bands.* FROM bands JOIN keep USING (band, bh)
-), cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM b2 a JOIN b2 b USING (band, bh) WHERE a.doc_id < b.doc_id
-)
-SELECT id_a, id_b, ROUND(({eq}) / {float(k)}, 6) AS est_jaccard
-FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b
-WHERE ({eq}) / {float(k)} >= {threshold}
-"""
+  SELECT bandrows.* FROM bandrows JOIN keepb USING (band, bh)
+), gcand AS (
+  SELECT DISTINCT a.gid AS gid_a, b.gid AS gid_b
+  FROM b2 a JOIN b2 b USING (band, bh) WHERE a.gid < b.gid
+), gest AS (
+  SELECT gid_a, gid_b, ({eq}) / {float(k)} AS est_jaccard
+  FROM gcand JOIN sgrp sa ON sa.gid = gid_a JOIN sgrp sb ON sb.gid = gid_b
+  WHERE ({eq}) / {float(k)} >= {threshold}
+), pairs AS (
+  SELECT least(ma.doc_id, mb.doc_id) AS id_a,
+         greatest(ma.doc_id, mb.doc_id) AS id_b, est_jaccard
+  FROM gest JOIN mem ma ON ma.gid = gid_a JOIN mem mb ON mb.gid = gid_b
+  UNION ALL
+  SELECT a.doc_id, b.doc_id, 1.0
+  FROM mem a JOIN mem b ON a.gid = b.gid AND a.doc_id < b.doc_id
+)"""
+
+
+def _minhash_oracle_sql(k=32, bands=8, rows=4, threshold=0.6, max_bucket=1000):
+    """DuckDB recomputation of the md5-family MinHash+LSH operator via
+    the shared group-reduced CTE chain (`_minhash_pair_ctes`)."""
+    ctes = _minhash_pair_ctes(k=k, bands=bands, rows=rows,
+                              threshold=threshold, max_bucket=max_bucket)
+    return (f"WITH {ctes} SELECT id_a, id_b, "
+            "ROUND(est_jaccard, 6) AS est_jaccard FROM pairs")
 
 
 def _simhash_oracle_sql():
@@ -2041,6 +2127,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter": _QUALITY_SQL,
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "minhash_near_dups": _minhash_oracle_sql(),
+        "corpus_canonical_docs": _corpus_canonical_docs_sql(),
         "simhash": _simhash_oracle_sql(),
         "ann_cosine_topk": _ANN_SQL,
         "ann_srp_topk": _srp_oracle_sql(),

@@ -74,6 +74,9 @@ def main() -> None:
         # dedup → phash clusters → canonical keep) and the html-mode
         # whole-crawl (the loop parsing real bodies via the extractor)
         "corpus_canonical",
+        # r4 late: the composed TEXT corpus pipeline (quality gate →
+        # group-reduced minhash pairs → clusters → canonical keep)
+        "corpus_canonical_docs",
         "crawl_html",
         # r4 additions: the Structured-Streaming restatements (run to
         # completion with AvailableNow inside the entry; wall includes

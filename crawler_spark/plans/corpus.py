@@ -117,3 +117,54 @@ def canonical_image_corpus(
         "caption_key",
         (F.col("w").cast("long") * F.col("h")).alias("px"),
     )
+
+
+def canonical_text_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    quality_cutoff: float = 0.5,
+    threshold: float = 0.6,
+    k: int = 32,
+    bands: int = 8,
+    rows: int = 4,
+    feature_hash: str = "xxhash64",
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """The document analog of `canonical_image_corpus`: raw docs →
+    quality-score gate → MinHash+LSH near-dup pairs → connected-component
+    clustering → canonical corpus (min-id representative per cluster,
+    plus every unpaired survivor). Returns (id, quality).
+
+    Composition of oracle-checked operators (quality_filter,
+    minhash_near_dups, dedup_groups); the reference's serial analog is
+    the same handler chain `canonical_image_corpus` cites, with the text
+    fingerprint in place of the perceptual hash. Scale story: the gate
+    is a JVM column filter on the scan; pair-finding inherits the
+    distinct-signature banded plan (exact-dup cliques via the
+    output-bound path, cap only on diverse degenerate buckets);
+    clustering is O(log d) label propagation; the final keep is one
+    anti-join against the |pairs|-scale drop set."""
+    from crawler_spark.functions.text import quality_score
+    from crawler_spark.operators.components import canonical_docs
+    from crawler_spark.operators.dedup import minhash_near_dups
+
+    gated = docs.select(
+        F.col(id_col).alias(id_col),
+        F.col(text_col).alias(text_col),
+        quality_score(F.col(text_col)).alias("quality"),
+    ).where(F.col("quality") >= quality_cutoff)
+    # pairs (label loop inside canonical_docs is eager) and the final
+    # anti-join both consume the gated corpus: cache it for the call
+    gated = gated.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        pairs = minhash_near_dups(
+            gated, id_col, text_col, k=k, bands=bands, rows=rows,
+            threshold=threshold, feature_hash=feature_hash,
+            max_bucket=max_bucket,
+        )
+        kept = canonical_docs(gated, pairs, id_col)
+    finally:
+        gated.unpersist()
+    return kept.select(id_col, "quality")

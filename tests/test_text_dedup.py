@@ -540,3 +540,25 @@ def test_srp_default_operating_point(spark):
     got = [r["id"] for r in ann_topk_srp(pemb, "id", "embedding", q, 5).collect()]
     prec = len(set(got) & set(exact)) / 5
     assert prec >= 0.8, f"default-path planted recall {prec} too low"
+
+
+def test_canonical_text_corpus_every_stage_bites(spark):
+    from crawler_spark.plans.corpus import canonical_text_corpus
+
+    base = ("the quick brown fox jumps over the lazy dog while a "
+            "crawler engine deduplicates training corpora at scale "
+            "and keeps exactly one canonical copy of each document")
+    rows = [
+        (1, base),                         # cluster rep (min id)
+        (2, base),                         # exact dup of 1
+        (3, base.replace("lazy", "idle")), # near dup of 1
+        (10, "unique enough text about spark shuffles, partitions and "
+             "broadcast joins that shares no shingles with the others "
+             "beyond incidental stopword overlap in this sentence"),
+        (20, "!!! ??? ,,, ;;; ::: ..."),   # gated out by quality < 0.5
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = canonical_text_corpus(df, "doc_id", "text").collect()
+    ids = sorted(r["doc_id"] for r in kept)
+    assert ids == [1, 10], ids
+    assert all(r["quality"] >= 0.5 for r in kept)

@@ -1169,7 +1169,11 @@ def q_corpus_canonical_docs(spark, sf_dir):
     from crawler_spark.plans.corpus import canonical_text_corpus
 
     d = _t(spark, sf_dir, "documents")
-    out = canonical_text_corpus(d, "doc_id", "text", feature_hash="md5")
+    # k=16 / 2-row bands: the composed face needs band recall, not a
+    # fine-grained estimate; halves the (KB-scale md5-family) signature
+    # width on both the Spark and oracle sides
+    out = canonical_text_corpus(d, "doc_id", "text", feature_hash="md5",
+                                k=16, bands=8, rows=2)
     return out.select("doc_id", F.round("quality", 6).alias("quality"))
 
 
@@ -1177,7 +1181,7 @@ def _corpus_canonical_docs_sql() -> str:
     """Quality gate (the _QUALITY_SQL formula, unrounded filter) →
     group-reduced minhash pair CTEs over the gated docs → recursive-CTE
     min-reachable closure → anti-join the non-representative members."""
-    pair_ctes = _minhash_pair_ctes(source="gdocs")
+    pair_ctes = _minhash_pair_ctes(k=16, bands=8, rows=2, source="gdocs")
     return f"""
 WITH RECURSIVE qb AS (
   SELECT doc_id, text,

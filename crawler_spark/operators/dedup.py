@@ -448,13 +448,12 @@ def simhash_near_dups(sh: DataFrame, *, radius: int = 3,
         bits = width + (64 - width * blocks if i == blocks - 1 else 0)
         specs.append((i, i * width, bits))
 
-    # one window-tag pass (min id per hash value) persisted; the
-    # distinct-hash table, the id expansion, and the equal-hash pairs
-    # all derive from it without re-shuffling the input
-    members = _eager(sh.select("id", "simhash").withColumn(
-        "gid", F.min("id").over(Window.partitionBy("simhash"))
-    ).persist(StorageLevel.MEMORY_AND_DISK))
-    dh = members.where(F.col("id") == F.col("gid")).select("simhash")
+    # 8-byte keys: the distinct-hash table and the id joins are cheap to
+    # derive lazily inside ONE job (no window/eager barriers — those
+    # are worth it only for the KB-scale array keys of the minhash
+    # path, and cost three serialized job boundaries here)
+    members = sh.select("id", "simhash")
+    dh = members.select("simhash").distinct().persist(StorageLevel.MEMORY_AND_DISK)
 
     dex = dh.select(
         "simhash",
@@ -562,8 +561,8 @@ def simhash_near_dups(sh: DataFrame, *, radius: int = 3,
         )
     )
     eq_pairs = (
-        members.select("gid", F.col("id").alias("id_a"))
-        .join(members.select("gid", F.col("id").alias("id_b")), "gid")
+        members.select("simhash", F.col("id").alias("id_a"))
+        .join(members.select("simhash", F.col("id").alias("id_b")), "simhash")
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b",
                 F.lit(0).cast("integer").alias("hamming"))

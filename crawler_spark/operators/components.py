@@ -138,7 +138,12 @@ def connected_components(
         )
         # shortcut: comp := comp(comp). every comp value is a node id,
         # so the self-join always matches; left+coalesce keeps the plan
-        # total even so.
+        # total even so. (A second shortcut per round was measured and
+        # rejected: on the dense near-dup group graphs the round count
+        # is PROPAGATION-bound — labels travel graph edges, not pointer
+        # chains — so doubling the shortcut left rounds at 6/6 and paid
+        # an extra labels-scale join per round, 9.0s → 12.8s on the
+        # sf0.1 doc group graph.)
         parent = l1.select(F.col("id").alias("comp"), F.col("comp").alias("cc"))
         obs = Observation(f"cc_{_obs_id}_r{round_no}")
         l2 = (
@@ -163,6 +168,62 @@ def connected_components(
         f"connected_components did not converge in {max_iter} rounds "
         "(labels are monotone, so this indicates a bug, not slow input)"
     )
+
+
+def grouped_labels(
+    gpairs: DataFrame, mem: DataFrame,
+    src_col: str = "gid_a", dst_col: str = "gid_b",
+) -> DataFrame:
+    """(id, component) member labels from the GROUP-reduced pair
+    representation the dedup operators expose (`minhash_group_pairs`,
+    `simhash_group_pairs`): cluster the group graph — nodes are
+    distinct-value groups labeled by their min member id — and map
+    members through their group.
+
+    Exactly the label table `connected_components` would produce over
+    the expanded member-pair graph: a member appears iff its group has
+    ≥2 members (those expand to equal-value pairs) or ≥1 cross-group
+    edge, and its component is the min member id reachable — which
+    equals the min reachable gid, because every gid IS its group's min
+    member id. The O(Σ clique²) expansion (the dominant pair mass on
+    boilerplate-heavy corpora) never materializes: the label loop runs
+    on |distinct values| nodes and cross-group edges only, and members
+    are attached by ONE |corpus|-scale join at the end.
+
+    ``mem`` must be (id, gid, gsz) with gid = min member id per group.
+    """
+    glab = connected_components(gpairs, src_col, dst_col).select(
+        F.col("id").alias("gid"), F.col("component").alias("gcomp")
+    )
+    return (
+        mem.join(glab, "gid", "left")
+        .where((F.col("gsz") >= 2) | F.col("gcomp").isNotNull())
+        .select("id", F.coalesce("gcomp", F.col("gid")).alias("component"))
+    )
+
+
+def canonical_docs_grouped(
+    df: DataFrame, gpairs: DataFrame, mem: DataFrame, id_col: str,
+) -> DataFrame:
+    """`canonical_docs` over the group-reduced pair representation:
+    keep the minimum-id document of every cluster, plus every document
+    in no pair — byte-identical output, without expanding group pairs
+    to member pairs.
+
+    The drop set (cluster members that are not their component's
+    representative) is eagerly localCheckpoint'd: it is at most
+    node-scale (same as the label generations the clustering loop
+    itself checkpoints), and pinning it lets the caller release the
+    dedup operator's window-tag table immediately — the final action
+    then scans ``df`` once against the pinned drop set instead of
+    recomputing the signature subtree."""
+    labels = grouped_labels(gpairs, mem)
+    drop = (
+        labels.where(F.col("id") != F.col("component"))
+        .select(F.col("id").alias(id_col))
+        .localCheckpoint()
+    )
+    return df.join(drop, id_col, "left_anti")
 
 
 def canonical_docs(

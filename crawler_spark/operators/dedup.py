@@ -115,7 +115,9 @@ def _eager(df: DataFrame) -> DataFrame:
 def _sig_groups(sig: DataFrame):
     """Collapse identical signatures into groups: returns
     (groups = (sig, gid) one row per DISTINCT signature vector with
-    gid = min member id, mem = (id, gid) membership, persisted).
+    gid = min member id, mem = (id, gid, gsz) membership with group
+    size, tagged = the persisted window-tag table BOTH derive from —
+    callers that consume groups/mem eagerly should unpersist it).
 
     This is the distinct-value reduction of the Hamming join applied to
     LSH: exact-duplicate documents (the most common duplicate type)
@@ -130,12 +132,15 @@ def _sig_groups(sig: DataFrame):
     a groupBy+join formulation would re-shuffle the (KB-scale for the
     md5 oracle family) signature arrays once per consumer; measured 2.7x
     slower on the sf0.1 bench entry."""
-    tagged = _eager(sig.withColumn(
-        "gid", F.min("id").over(Window.partitionBy("sig"))
-    ).persist(StorageLevel.MEMORY_AND_DISK))
+    w = Window.partitionBy("sig")
+    tagged = _eager(
+        sig.withColumn("gid", F.min("id").over(w))
+        .withColumn("gsz", F.count(F.lit(1)).over(w))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     groups = tagged.where(F.col("id") == F.col("gid")).select("gid", "sig")
-    mem = tagged.select("id", "gid")
-    return groups, mem
+    mem = tagged.select("id", "gid", "gsz")
+    return groups, mem, tagged
 
 
 def _expand_group_pairs(cand: DataFrame, mem: DataFrame, extra: tuple = ()) -> DataFrame:
@@ -179,7 +184,7 @@ def lsh_candidate_pairs(
     now only drops buckets where > max_bucket DIFFERENT signatures
     collide in one band — genuine hash degeneracy, the operator's
     documented coverage cap."""
-    groups, mem = _sig_groups(sig)
+    groups, mem, _tagged = _sig_groups(sig)
     b = _banded(groups.select(F.col("gid").alias("id"), "sig"),
                 bands=bands, rows=rows, max_bucket=max_bucket,
                 feature_hash=feature_hash)
@@ -268,7 +273,27 @@ def minhash_near_dups(
                              feature_hash=feature_hash)
     # sig's only consumer is the window-tag pass; _sig_groups persists
     # (and eagerly pins) the tagged table every downstream branch reads
-    groups, mem = _sig_groups(sig)
+    groups, mem, _tagged = _sig_groups(sig)
+    cand = _minhash_group_cand(groups, k=k, bands=bands, rows=rows,
+                               threshold=threshold, feature_hash=feature_hash,
+                               max_bucket=max_bucket)
+    est = _expand_group_pairs(cand, mem, extra=("est_jaccard",))
+    if threshold <= 1.0:
+        est = est.union(
+            _equal_sig_pairs(mem, extra=(F.lit(1.0).alias("est_jaccard"),))
+        )
+    return est
+
+
+def _minhash_group_cand(
+    groups: DataFrame, *, k: int, bands: int, rows: int, threshold: float,
+    feature_hash: str, max_bucket: int,
+) -> DataFrame:
+    """Qualifying GROUP pairs (gid_a < gid_b, est_jaccard ≥ threshold)
+    from banded distinct-signature groups — the shared core of
+    `minhash_near_dups` (which expands to member pairs) and
+    `minhash_group_pairs` (which hands the group graph straight to
+    clustering)."""
     b = _banded(groups.select(F.col("gid").alias("id"), "sig"),
                 bands=bands, rows=rows, max_bucket=max_bucket,
                 feature_hash=feature_hash, carry=("sig",))
@@ -293,12 +318,49 @@ def minhash_near_dups(
         .select("gid_a", "gid_b", "est_jaccard")
         .distinct()
     )
-    est = _expand_group_pairs(cand, mem, extra=("est_jaccard",))
-    if threshold <= 1.0:
-        est = est.union(
-            _equal_sig_pairs(mem, extra=(F.lit(1.0).alias("est_jaccard"),))
-        )
-    return est
+    return cand
+
+
+def minhash_group_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 32,
+    bands: int = 8,
+    rows: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.6,
+    feature_hash: str = "xxhash64",
+    max_bucket: int = 1000,
+):
+    """The group-reduced face of `minhash_near_dups` for eager consumers
+    (clustering, canonical-corpus): returns ``(gpairs, mem, tagged)``
+    where
+
+      * ``gpairs`` = (gid_a, gid_b, est_jaccard) — ONE edge per
+        qualifying pair of DISTINCT signature vectors, labeled by the
+        groups' min member id;
+      * ``mem`` = (id, gid, gsz) membership with group size;
+      * ``tagged`` = the persisted window-tag table both derive from —
+        the caller MUST unpersist it once its consumers materialize.
+
+    Equal-signature pairs carry no edge: group membership IS that
+    information (every member of a group lands in one cluster), so the
+    O(Σ clique²) member-pair expansion — which dominates both the pair
+    table and the clustering input on boilerplate-heavy corpora — never
+    happens. ``threshold`` must be ≤ 1.0 (equal signatures always
+    qualify; a >1.0 threshold would need them filtered out, which the
+    group representation cannot express)."""
+    if threshold > 1.0:
+        raise ValueError("minhash_group_pairs requires threshold <= 1.0")
+    sig = minhash_signatures(df, id_col, text_col, k=k, shingle_n=shingle_n,
+                             feature_hash=feature_hash)
+    groups, mem, tagged = _sig_groups(sig)
+    cand = _minhash_group_cand(groups, k=k, bands=bands, rows=rows,
+                               threshold=threshold, feature_hash=feature_hash,
+                               max_bucket=max_bucket)
+    return cand, mem, tagged
 
 
 # --------------------------------------------------------------------- #
@@ -441,19 +503,47 @@ def simhash_near_dups(sh: DataFrame, *, radius: int = 3,
        broadcast (rare by construction, the `_banded` technique), so the
        split costs no sort and no extra full-table shuffle.
     """
-    blocks = min(radius + 1, 32)
-    width = 64 // blocks
-    specs = []  # (block_id, shift, bits)
-    for i in range(blocks):
-        bits = width + (64 - width * blocks if i == blocks - 1 else 0)
-        specs.append((i, i * width, bits))
-
     # 8-byte keys: the distinct-hash table and the id joins are cheap to
     # derive lazily inside ONE job (no window/eager barriers — those
     # are worth it only for the KB-scale array keys of the minhash
     # path, and cost three serialized job boundaries here)
     members = sh.select("id", "simhash")
     dh = members.select("simhash").distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    cand = _hamming_cand(dh, radius=radius, max_bucket=max_bucket)
+    cross = (
+        cand.join(members.select(F.col("simhash").alias("h_a"),
+                                 F.col("id").alias("ia")), "h_a")
+        .join(members.select(F.col("simhash").alias("h_b"),
+                             F.col("id").alias("ib")), "h_b")
+        .select(
+            F.least("ia", "ib").alias("id_a"),
+            F.greatest("ia", "ib").alias("id_b"),
+            "hamming",
+        )
+    )
+    eq_pairs = (
+        members.select("simhash", F.col("id").alias("id_a"))
+        .join(members.select("simhash", F.col("id").alias("id_b")), "simhash")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                F.lit(0).cast("integer").alias("hamming"))
+    )
+    return cross.select("id_a", "id_b", "hamming").union(eq_pairs)
+
+
+def _hamming_cand(dh: DataFrame, *, radius: int, max_bucket: int) -> DataFrame:
+    """Qualifying DISTINCT-hash pairs (h_a < h_b, hamming ≤ radius) from
+    a (simhash) table of distinct hash values — the shared skew-proof
+    two-level pigeonhole core of `simhash_near_dups` (which expands to
+    member pairs) and `simhash_group_pairs` (which hands the hash-group
+    graph straight to clustering). ``dh`` should already be persisted
+    (its plan is consumed by several branches of one job)."""
+    blocks = min(radius + 1, 32)
+    width = 64 // blocks
+    specs = []  # (block_id, shift, bits)
+    for i in range(blocks):
+        bits = width + (64 - width * blocks if i == blocks - 1 else 0)
+        specs.append((i, i * width, bits))
 
     dex = dh.select(
         "simhash",
@@ -549,25 +639,49 @@ def simhash_near_dups(sh: DataFrame, *, radius: int = 3,
         # expansion, on the (smaller) distinct-hash pair set
         .distinct()
     )
-    cross = (
-        cand.join(members.select(F.col("simhash").alias("h_a"),
-                                 F.col("id").alias("ia")), "h_a")
-        .join(members.select(F.col("simhash").alias("h_b"),
-                             F.col("id").alias("ib")), "h_b")
+    return cand
+
+
+def simhash_group_pairs(sh: DataFrame, *, radius: int = 3,
+                        max_bucket: int = 4096):
+    """The group-reduced face of `simhash_near_dups` for eager consumers
+    (clustering, canonical-corpus): returns ``(gpairs, mem, tagged)``
+    where
+
+      * ``gpairs`` = (gid_a, gid_b, hamming) — ONE edge per qualifying
+        pair of DISTINCT hash values (hamming ≤ radius), labeled by the
+        hash groups' min member id;
+      * ``mem`` = (id, gid, gsz) membership with group size;
+      * ``tagged`` = the persisted window-tag table both derive from —
+        the caller MUST unpersist it once its consumers materialize.
+
+    Equal-hash (hamming-0) pairs carry no edge: group membership IS that
+    information, so the O(Σ clique²) member-pair expansion — blank
+    frames and boilerplate thumbnails at corpus scale — never reaches
+    the clustering input."""
+    w = Window.partitionBy("simhash")
+    tagged = _eager(
+        sh.select("id", "simhash")
+        .withColumn("gid", F.min("id").over(w))
+        .withColumn("gsz", F.count(F.lit(1)).over(w))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    hg = tagged.where(F.col("id") == F.col("gid")).select("simhash", "gid")
+    mem = tagged.select("id", "gid", "gsz")
+    cand = _hamming_cand(hg.select("simhash"), radius=radius,
+                         max_bucket=max_bucket)
+    gpairs = (
+        cand.join(hg.select(F.col("simhash").alias("h_a"),
+                            F.col("gid").alias("ga")), "h_a")
+        .join(hg.select(F.col("simhash").alias("h_b"),
+                        F.col("gid").alias("gb")), "h_b")
         .select(
-            F.least("ia", "ib").alias("id_a"),
-            F.greatest("ia", "ib").alias("id_b"),
+            F.least("ga", "gb").alias("gid_a"),
+            F.greatest("ga", "gb").alias("gid_b"),
             "hamming",
         )
     )
-    eq_pairs = (
-        members.select("simhash", F.col("id").alias("id_a"))
-        .join(members.select("simhash", F.col("id").alias("id_b")), "simhash")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b",
-                F.lit(0).cast("integer").alias("hamming"))
-    )
-    return cross.select("id_a", "id_b", "hamming").union(eq_pairs)
+    return gpairs, mem, tagged
 
 
 # --------------------------------------------------------------------- #

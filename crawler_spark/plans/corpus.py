@@ -18,10 +18,13 @@ Scale story (all stages inherit their operators' plans):
   * caption dedup — ONE partial-aggregated groupBy whose widened
     struct-min argmax emits the winner row itself (no winner-ids join
     back against the corpus);
-  * phash pairs — pigeonhole-blocked Hamming join, never all-pairs;
-  * clustering — O(log d) label propagation, one generation of
-    checkpoint blocks live at a time (state/ckpt.py release);
-  * final keep — one anti-join against the |pairs|-scale drop set.
+  * phash pairs — pigeonhole-blocked Hamming join, never all-pairs,
+    consumed in GROUP-reduced form (one node per distinct hash value);
+  * clustering — O(log d) label propagation over the group graph, one
+    generation of checkpoint blocks live at a time (state/ckpt.py
+    release); members attach by one corpus-scale join at the end, so
+    exact-dup cliques never expand to O(clique²) pairs;
+  * final keep — one anti-join against the pinned drop set.
 """
 
 from __future__ import annotations
@@ -43,7 +46,9 @@ def canonical_image_corpus(
     (image_quality_filter verdict != 'keep'); (2) keep only the best
     copy per exact caption (caption_dedup_best winners); (3) cluster
     the survivors' perceptual hashes at Hamming ≤ ``radius`` and keep
-    the minimum-id member per cluster (canonical_docs).
+    the minimum-id member per cluster (canonical_docs_grouped over the
+    group-reduced Hamming join — identical output to the member-pair
+    composition, proven by tests/test_components.py).
 
     Returns (image_id, caption_key, px) — one row per canonical image.
     Deterministic; every tie-break is by image_id. ``image_id`` must be
@@ -51,10 +56,9 @@ def canonical_image_corpus(
     corpus should carry a surrogate long id, e.g. ``xxhash64(image_id)``
     checked for collisions or a dense id from the ingest path).
     """
-    from crawler_spark.operators.components import canonical_docs
-    from crawler_spark.operators.multimodal import (
-        image_quality_verdict, phash_near_dups,
-    )
+    from crawler_spark.operators.components import canonical_docs_grouped
+    from crawler_spark.operators.dedup import simhash_group_pairs
+    from crawler_spark.operators.multimodal import image_quality_verdict
 
     # The gate verdict is a row-local CASE, so gating is a FILTER on the
     # scan — not the verdict-ids semi-join back against payload it would
@@ -98,18 +102,31 @@ def canonical_image_corpus(
             F.col("b.h").alias("h"),
         )
     )
-    # The clustering inside canonical_docs is EAGER (its label loop
-    # checkpoints per round), and the pigeonhole pair join reads
-    # survivors twice (both sides of the band self-join) — so cache
+    # The clustering phase is EAGER (its label loop checkpoints per
+    # round, and canonical_docs_grouped pins the drop set) — so cache
     # survivors for the duration of that phase: the gate+argmax runs
-    # once instead of twice while pairs materialize. Released before
+    # once while the group graph materializes. Both the survivors cache
+    # and the Hamming join's window-tag table are released before
     # returning (no storage outlives the call); the caller's final
-    # action recomputes the filter+argmax exactly once for the
-    # |survivors|-scale anti-join side.
+    # action recomputes the filter+argmax exactly once against the
+    # pinned drop set.
+    #
+    # The near-dup relation is consumed in its GROUP-reduced form
+    # (simhash_group_pairs + canonical_docs_grouped): clustering runs on
+    # distinct phash values and cross-hash edges only; exact-equal
+    # fingerprints — blank frames, boilerplate thumbnails, the dominant
+    # duplicate mass at corpus scale — never expand to O(clique²)
+    # member pairs on the way to their cluster.
     survivors = survivors.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        pairs = phash_near_dups(survivors, radius=radius)
-        kept = canonical_docs(survivors, pairs, "image_id")
+        sh = survivors.select(
+            F.col("image_id").alias("id"), F.col("phash").alias("simhash")
+        )
+        gpairs, mem, tagged = simhash_group_pairs(sh, radius=radius)
+        try:
+            kept = canonical_docs_grouped(survivors, gpairs, mem, "image_id")
+        finally:
+            tagged.unpersist()
     finally:
         survivors.unpersist()
     return kept.select(
@@ -142,29 +159,39 @@ def canonical_text_corpus(
     the same handler chain `canonical_image_corpus` cites, with the text
     fingerprint in place of the perceptual hash. Scale story: the gate
     is a JVM column filter on the scan; pair-finding inherits the
-    distinct-signature banded plan (exact-dup cliques via the
-    output-bound path, cap only on diverse degenerate buckets);
-    clustering is O(log d) label propagation; the final keep is one
-    anti-join against the |pairs|-scale drop set."""
+    distinct-signature banded plan (cap only on diverse degenerate
+    buckets) and is consumed GROUP-reduced — exact-dup cliques reach
+    their cluster via membership, never as O(clique²) pairs; clustering
+    is O(log d) label propagation over the group graph; the final keep
+    is one anti-join against the pinned drop set."""
     from crawler_spark.functions.text import quality_score
-    from crawler_spark.operators.components import canonical_docs
-    from crawler_spark.operators.dedup import minhash_near_dups
+    from crawler_spark.operators.components import canonical_docs_grouped
+    from crawler_spark.operators.dedup import minhash_group_pairs
 
     gated = docs.select(
         F.col(id_col).alias(id_col),
         F.col(text_col).alias(text_col),
         quality_score(F.col(text_col)).alias("quality"),
     ).where(F.col("quality") >= quality_cutoff)
-    # pairs (label loop inside canonical_docs is eager) and the final
-    # anti-join both consume the gated corpus: cache it for the call
+    # the group graph (label loop is eager; canonical_docs_grouped pins
+    # the drop set) and the final anti-join both consume the gated
+    # corpus: cache it for the call. The near-dup relation is consumed
+    # GROUP-reduced (minhash_group_pairs): clustering runs on distinct
+    # signature vectors and cross-group LSH edges only — exact-dup
+    # cliques never expand to O(clique²) member pairs on the way to
+    # their cluster (on a boilerplate-heavy corpus that expansion, not
+    # the LSH join, dominates the whole pipeline).
     gated = gated.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        pairs = minhash_near_dups(
+        gpairs, mem, tagged = minhash_group_pairs(
             gated, id_col, text_col, k=k, bands=bands, rows=rows,
             threshold=threshold, feature_hash=feature_hash,
             max_bucket=max_bucket,
         )
-        kept = canonical_docs(gated, pairs, id_col)
+        try:
+            kept = canonical_docs_grouped(gated, gpairs, mem, id_col)
+        finally:
+            tagged.unpersist()
     finally:
         gated.unpersist()
     return kept.select(id_col, "quality")

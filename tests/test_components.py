@@ -177,3 +177,86 @@ def test_composes_with_minhash_pairs(spark):
         for r in canonical_docs(docs, pairs, "doc_id").select("doc_id").collect()
     }
     assert kept == {0, 3}
+
+
+def test_grouped_labels_match_member_pair_components(spark):
+    """grouped_labels over the group-reduced Hamming join must produce
+    EXACTLY the label table connected_components builds from the fully
+    expanded member-pair graph — same node set (members of ≥2-member
+    hash groups, plus members of groups with a cross-hash edge) and
+    same min-member-id labels — on a corpus mixing exact-dup cliques,
+    cross-hash near pairs, a clique linked to a near neighbor, and
+    untouched singletons."""
+    from crawler_spark.operators.components import grouped_labels
+    from crawler_spark.operators.dedup import (
+        simhash_group_pairs, simhash_near_dups,
+    )
+
+    rows = []
+    # clique A: 6 members share hash 0xABC0; id 100 also near 0xABC1
+    for i in range(6):
+        rows.append((100 + i, 0xABC0))
+    rows.append((200, 0xABC1))            # hamming 1 from the clique
+    # isolated near pair
+    rows.append((300, 1 << 40))
+    rows.append((301, (1 << 40) | 3))     # hamming 2
+    # 2-member clique with no cross neighbors
+    rows.append((400, 0x5555_0000))
+    rows.append((401, 0x5555_0000))
+    # singletons far from everything
+    rows.append((500, -1))  # all-ones: ≥28 bits from every hash above
+    rows.append((501, 0x0F0F_0F0F_0F0F_0F0))
+    sh = spark.createDataFrame(rows, "id: long, simhash: long")
+
+    member_pairs = simhash_near_dups(sh, radius=3)
+    want = {
+        r.id: r.component for r in connected_components(member_pairs).collect()
+    }
+
+    gpairs, mem, tagged = simhash_group_pairs(sh, radius=3)
+    try:
+        got = {r.id: r.component for r in grouped_labels(gpairs, mem).collect()}
+    finally:
+        tagged.unpersist()
+
+    assert want  # fixture sanity: the member-pair path found clusters
+    assert got == want
+    assert 500 not in got and 501 not in got  # singletons stay out
+    assert got[401] == 400                    # edge-less clique labeled by membership
+
+
+def test_canonical_docs_grouped_equals_member_pair_canonical(spark):
+    """canonical_docs_grouped(minhash_group_pairs) == canonical_docs(
+    minhash_near_dups) keep set, including a doc too short to shingle
+    (no signature → kept by both) and an exact-dup clique larger than
+    max_bucket (the degenerate case the group representation exists
+    for)."""
+    from crawler_spark.operators.components import canonical_docs_grouped
+    from crawler_spark.operators.dedup import (
+        minhash_group_pairs, minhash_near_dups,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    rows = [(i, base) for i in range(8)]                 # exact-dup clique
+    rows += [(10, base + " tail-a"), (11, base + " tail-a tail-b")]
+    rows += [(20, "completely different content about spark engines " * 20)]
+    rows += [(30, "ab")]                                 # too short for 3-shingles
+    docs = spark.createDataFrame(rows, "doc_id: long, body: string")
+    kw = dict(threshold=0.5, max_bucket=2)               # clique >> cap
+
+    pairs = minhash_near_dups(docs, "doc_id", "body", **kw)
+    want = {
+        r.doc_id
+        for r in canonical_docs(docs, pairs, "doc_id").select("doc_id").collect()
+    }
+
+    gpairs, mem, tagged = minhash_group_pairs(docs, "doc_id", "body", **kw)
+    try:
+        kept = canonical_docs_grouped(docs, gpairs, mem, "doc_id")
+        got = {r.doc_id for r in kept.select("doc_id").collect()}
+    finally:
+        tagged.unpersist()
+
+    assert want == got
+    assert 0 in got and 30 in got and 20 in got          # reps + unpaired survive
+    assert not ({1, 2, 3, 4, 5, 6, 7} & got)             # clique non-reps dropped

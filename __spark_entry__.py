@@ -954,18 +954,26 @@ def q_image_dup_groups(spark, sf_dir):
     training-data pipeline actually consumes. The oracle recomputes the
     phash in SQL, does the exact all-pairs check at sf scale, and
     closes the pair graph with a recursive CTE."""
-    from crawler_spark.operators.components import connected_components
-    from crawler_spark.operators.multimodal import phash_near_dups
+    from crawler_spark.operators.components import grouped_labels
+    from crawler_spark.operators.dedup import simhash_group_pairs
 
     d = _t(spark, sf_dir, "documents")
-    payload = d.select(
-        F.col("doc_id").alias("image_id"),
-        F.expr(_phash_sql_expr("spark")).alias("phash"),
+    sh = d.select(
+        F.col("doc_id").alias("id"),
+        F.expr(_phash_sql_expr("spark")).alias("simhash"),
     )
-    pairs = phash_near_dups(payload, radius=6)
-    return connected_components(pairs).select(
-        F.col("id").alias("image_id"), "component"
-    )
+    # group-reduced consumption: the label loop runs over distinct
+    # phash values + cross-hash edges; members (incl. equal-hash
+    # cliques) attach by membership. Output is identical to
+    # connected_components over the expanded member pairs (equality
+    # pinned in tests/test_components.py); the labels are pinned
+    # node-scale so the window-tag table releases before return.
+    gpairs, mem, tagged = simhash_group_pairs(sh, radius=6)
+    try:
+        out = grouped_labels(gpairs, mem).localCheckpoint()
+    finally:
+        tagged.unpersist()
+    return out.select(F.col("id").alias("image_id"), "component")
 
 
 def _mm_quality_payload(d):

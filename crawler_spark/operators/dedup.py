@@ -268,7 +268,14 @@ def minhash_near_dups(
     so the Jaccard estimate needs no further joins; the estimate is a
     codegen'd higher-order function over the two carried arrays, and
     pair dedup (`distinct`) runs on the smaller group-pair set BEFORE
-    member expansion."""
+    member expansion.
+
+    Storage lifecycle: the returned pair DataFrame is LAZY and reads
+    the persisted window-tag table, so this function cannot release it;
+    the blocks free on LRU eviction or JVM GC of the plan. An eager
+    consumer that wants deterministic release (the corpus faces,
+    clustering) should use `minhash_group_pairs`, which hands back the
+    persisted handle."""
     sig = minhash_signatures(df, id_col, text_col, k=k, shingle_n=shingle_n,
                              feature_hash=feature_hash)
     # sig's only consumer is the window-tag pass; _sig_groups persists
@@ -502,6 +509,11 @@ def simhash_near_dups(sh: DataFrame, *, radius: int = 3,
        entropy. Heavy keys are found by a partial-aggregated count and
        broadcast (rare by construction, the `_banded` technique), so the
        split costs no sort and no extra full-table shuffle.
+
+    Storage lifecycle: the returned pair DataFrame is LAZY over the
+    persisted distinct-hash table (and `_hamming_cand`'s heavy-key
+    set), so release is LRU/GC-driven; eager consumers wanting
+    deterministic release should use `simhash_group_pairs`.
     """
     # 8-byte keys: the distinct-hash table and the id joins are cheap to
     # derive lazily inside ONE job (no window/eager barriers — those

@@ -30,9 +30,22 @@ of ~3M group hashes land within Hamming 1 is ~2e-5 at 10^7 docs, so the
 pair/cluster/canonical counts assert EXACTLY; min_bpp=0 because the
 synthetic byte column is a 16-byte md5 digest, not real pixels.
 
+On top of the triples, ``--blanks B`` (default n/10) plants the
+duplicate class that dominates real image corpora: B extra rows sharing
+ONE phash value (-1, ≥28 bits from every xxhash64 triple hash) with
+unique captions — blank frames / boilerplate thumbnails. They survive
+the gate and caption dedup, then must collapse to ONE canonical (the
+min id). This is exactly the shape the GROUP-reduced clustering path
+exists for: member-pair expansion of a B-clique is B(B-1)/2 hamming-0
+pairs (5*10^11 at B=10^6 — structurally impossible), while the group
+graph carries one node and zero edges, and membership alone routes the
+clique to its representative. tools/cluster_skew_probe.py measures the
+member-pair plan's quadratic growth directly at small B.
+
 Prints ONE JSON line. Usage:
   python tools/corpus_rehearsal.py --smoke     # 3*10^5 images, ~1 min
   python tools/corpus_rehearsal.py             # ~10^7 images
+  python tools/corpus_rehearsal.py --blanks 0  # triples only (pre-r4 shape)
 """
 
 from __future__ import annotations
@@ -53,10 +66,27 @@ QUALITY_KWARGS = dict(min_bpp=0.0)
 RADIUS = 1
 
 
-def build_payload(spark, n_images: int):
+def build_payload(spark, n_images: int, n_blanks: int = 0):
     """Deterministic triple-structured image+caption payload
     (BASELINE.json input_hint shape: image_id, bytes, w, h, fmt,
-    caption, phash). All synthesis is JVM column expressions."""
+    caption, phash), plus ``n_blanks`` equal-phash blank-frame rows
+    (ids [n_images, n_images+n_blanks), phash -1, unique captions).
+    All synthesis is JVM column expressions."""
+    if n_blanks:
+        blank_ids = spark.range(n_images, n_images + n_blanks)
+        blanks = blank_ids.select(
+            F.col("id").alias("image_id"),
+            F.to_binary(
+                F.md5(F.concat(F.lit("px"), F.col("id").cast("string"))),
+                F.lit("hex"),
+            ).alias("bytes"),
+            F.lit(96).alias("w"),
+            F.lit(96).alias("h"),
+            F.lit("png").alias("fmt"),
+            F.md5(F.concat(F.lit("blankcap"), F.col("id").cast("string"))).alias("caption"),
+            F.lit(-1).cast("long").alias("phash"),
+        )
+        return build_payload(spark, n_images).unionByName(blanks)
     ids = spark.range(n_images)
     g = (F.col("id") / 3).cast("long")
     m = F.col("id") % 3
@@ -91,7 +121,7 @@ def build_payload(spark, n_images: int):
     )
 
 
-def run(spark, n_images: int) -> dict:
+def run(spark, n_images: int, n_blanks: int = 0) -> dict:
     from crawler_spark.operators.multimodal import image_quality_filter
     from crawler_spark.plans.corpus import canonical_image_corpus
 
@@ -100,9 +130,9 @@ def run(spark, n_images: int) -> dict:
     c17 = len(range(3, groups, 17))  # gate-rejected m1 copies
     c13 = len(range(5, groups, 13))  # gate-rejected m2 captions
 
-    payload = build_payload(spark, n_images).persist()
+    payload = build_payload(spark, n_images, n_blanks).persist()
     n = payload.count()
-    assert n == n_images
+    assert n == n_images + n_blanks
 
     t0 = time.time()
     verdicts = dict(
@@ -120,15 +150,23 @@ def run(spark, n_images: int) -> dict:
     ).persist()
     n_canonical = kept.count()
     wall_pipeline = time.time() - t1
-    # every group yields exactly its m0, regardless of which plant hit it
-    assert n_canonical == groups, (n_canonical, groups)
-    n_non_m0 = kept.where(F.col("image_id") % 3 != 0).count()
-    assert n_non_m0 == 0, f"{n_non_m0} canonical rows are not triple heads"
+    # every group yields exactly its m0, regardless of which plant hit
+    # it; the whole blank-frame clique collapses to its min id
+    want = groups + (1 if n_blanks else 0)
+    assert n_canonical == want, (n_canonical, want)
+    bad = kept.where(
+        ~(
+            ((F.col("image_id") < n_images) & (F.col("image_id") % 3 == 0))
+            | (F.col("image_id") == n_images)
+        )
+    ).count()
+    assert bad == 0, f"{bad} canonical rows are neither triple heads nor the blank representative"
 
     kept.unpersist()
     payload.unpersist()
     return dict(
         n_images=n,
+        n_blanks=n_blanks,
         n_groups=groups,
         gate_rejects=c17 + c13,
         wall_gate_s=round(wall_gate, 1),
@@ -142,6 +180,9 @@ def run(spark, n_images: int) -> dict:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--images", type=int, default=9_999_999)
+    ap.add_argument("--blanks", type=int, default=-1,
+                    help="equal-phash blank-frame rows planted on top of "
+                         "the triples (-1 = images/10; 0 = pre-r4 shape)")
     ap.add_argument("--smoke", action="store_true", help="3*10^5 images")
     ap.add_argument("--cpus", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
@@ -155,7 +196,8 @@ def main():
         shuffle_partitions=max(32, args.cpus * 2),
     )
     n = 300_000 if args.smoke else args.images
-    print(json.dumps(run(spark, n)))
+    blanks = n // 10 if args.blanks < 0 else args.blanks
+    print(json.dumps(run(spark, n, blanks)))
 
 
 if __name__ == "__main__":

@@ -84,10 +84,11 @@ def main() -> None:
         "stream_rollup",
         "stream_host_budget",
     ]
-    # The minhash/simhash driver entries use the md5 hash family so the
-    # DuckDB oracle can recompute them; the benchmark measures the
-    # PRODUCTION family (xxhash64 — 8-byte values through the shuffle,
-    # JVM-side) by invoking the operators directly with their defaults.
+    # The minhash/simhash driver entries (and the composed text-corpus
+    # face built on minhash) use the md5 hash family so the DuckDB
+    # oracle can recompute them; the benchmark measures the PRODUCTION
+    # family (xxhash64 — 8-byte values through the shuffle, JVM-side)
+    # by invoking the operators directly with their defaults.
     def bench_minhash(spark_, sf_dir):
         from pyspark.sql import functions as FF
 
@@ -106,7 +107,18 @@ def main() -> None:
         d = spark_.read.parquet(os.path.join(sf_dir, "documents.parquet"))
         return simhash(d, "doc_id", "text").select(FF.col("id").alias("doc_id"), "simhash")
 
-    qs = dict(qs, minhash_near_dups=bench_minhash, simhash=bench_simhash)
+    def bench_corpus_docs(spark_, sf_dir):
+        from pyspark.sql import functions as FF
+
+        from crawler_spark.plans.corpus import canonical_text_corpus
+
+        d = spark_.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        return canonical_text_corpus(d, "doc_id", "text", k=16, bands=8, rows=2).select(
+            "doc_id", FF.round("quality", 6).alias("quality")
+        )
+
+    qs = dict(qs, minhash_near_dups=bench_minhash, simhash=bench_simhash,
+              corpus_canonical_docs=bench_corpus_docs)
 
     timings: dict[str, float] = {}
     for name in bench_names:

@@ -976,6 +976,42 @@ def q_image_dup_groups(spark, sf_dir):
     return out.select(F.col("id").alias("image_id"), "component")
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental corpus maintenance (operators/incremental.py) — the
+    10^10 story made literal: a continuous crawl folds each fetched
+    batch into a persisted hash-scale dedup index at O(delta) cost
+    instead of re-clustering the world. The reference's BK-tree
+    controller does the same serially (one fingerprint at a time into
+    the existing tree, bktree.go:21-62); here the batch is
+    pigeonhole-probed against the index map-side, new pairs contract
+    onto component supernodes, and a delta-sized connected-components
+    pass merges labels. The entry splits the corpus 2:1 by doc_id,
+    builds the index on the base, folds the delta in incrementally,
+    and emits member labels — which must hash-match the oracle's ONE-
+    SHOT recursive-CTE closure over the whole corpus: the incremental
+    path is only correct if batching is invisible in the end state."""
+    from crawler_spark.operators.incremental import (
+        member_labels,
+        phash_index_build,
+        phash_index_update,
+    )
+    from crawler_spark.state.ckpt import release_checkpoint
+
+    d = _t(spark, sf_dir, "documents")
+    images = d.select(
+        F.col("doc_id").alias("image_id"),
+        F.expr(_phash_sql_expr("spark")).alias("phash"),
+    )
+    base = images.where(F.col("image_id") % 3 != 0)
+    delta = images.where(F.col("image_id") % 3 == 0)
+    idx0 = phash_index_build(base, radius=6)
+    idx1 = phash_index_update(idx0, delta, radius=6)
+    release_checkpoint(idx0)
+    return member_labels(images, idx1).select(
+        F.col("id").alias("image_id"), "component"
+    )
+
+
 def _mm_quality_payload(d):
     """Deterministic image+caption payload (input_hint shape) derived
     from documents, with every quality-gate rule represented: small
@@ -1581,6 +1617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_budget_cancel": q_host_budget_cancel,
         "phash_near_dups": q_phash_near_dups,
         "image_dup_groups": q_image_dup_groups,
+        "incremental_dedup": q_incremental_dedup,
         "image_quality": q_image_quality,
         "caption_dedup_best": q_caption_dedup_best,
         "corpus_canonical": q_corpus_canonical,
@@ -2174,6 +2211,19 @@ def oracle_sql() -> dict[str, str]:
             "WHERE bit_count(xor(a.phash, b.phash)) <= 6"
         ),
         "image_dup_groups": (
+            f"WITH RECURSIVE ph AS (SELECT doc_id, {_phash_sql_expr('duck')} "
+            "AS phash FROM documents), "
+            "p AS (SELECT a.doc_id AS u, b.doc_id AS v FROM ph a "
+            "JOIN ph b ON a.doc_id < b.doc_id "
+            "WHERE bit_count(xor(a.phash, b.phash)) <= 6), "
+            "ed AS (SELECT u, v FROM p UNION SELECT v, u FROM p), "
+            "r AS (SELECT u, u AS m FROM (SELECT DISTINCT u FROM ed) "
+            "UNION SELECT e.v AS u, r.m FROM r JOIN ed e ON e.u = r.u) "
+            "SELECT u AS image_id, min(m) AS component FROM r GROUP BY u"
+        ),
+        # the incremental fold must be invisible: same one-shot closure
+        # as image_dup_groups grades the batched index end state
+        "incremental_dedup": (
             f"WITH RECURSIVE ph AS (SELECT doc_id, {_phash_sql_expr('duck')} "
             "AS phash FROM documents), "
             "p AS (SELECT a.doc_id AS u, b.doc_id AS v FROM ph a "

@@ -543,6 +543,40 @@ def simhash_near_dups(sh: DataFrame, *, radius: int = 3,
     return cross.select("id_a", "id_b", "hamming").union(eq_pairs)
 
 
+def _pigeonhole_specs(radius: int) -> list:
+    """Level-1 pigeonhole block layout for 64-bit Hamming-radius joins:
+    ``radius+1`` disjoint bit-windows as (block_id, shift, bits) — two
+    hashes within radius r differ in ≤r bits, so they agree EXACTLY on
+    at least one of the r+1 blocks. Shared by `_hamming_cand` (batch
+    self-join) and the incremental index (delta→base bucket probing);
+    both sides of any probe MUST use the same layout."""
+    blocks = min(radius + 1, 32)
+    width = 64 // blocks
+    specs = []  # (block_id, shift, bits)
+    for i in range(blocks):
+        bits = width + (64 - width * blocks if i == blocks - 1 else 0)
+        specs.append((i, i * width, bits))
+    return specs
+
+
+def _block_explode(dh: DataFrame, hash_col: str, specs: list) -> DataFrame:
+    """(hash, blk, bv) — one row per level-1 block of each hash."""
+    return dh.select(
+        hash_col,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("blk"),
+                    F.shiftright(F.col(hash_col), shift)
+                    .bitwiseAND(F.lit((1 << bits) - 1) if bits < 64 else F.lit(-1))
+                    .alias("bv"),
+                )
+                for (i, shift, bits) in specs
+            ])
+        ).alias("e"),
+    ).select(hash_col, "e.blk", "e.bv")
+
+
 def _hamming_cand(dh: DataFrame, *, radius: int, max_bucket: int) -> DataFrame:
     """Qualifying DISTINCT-hash pairs (h_a < h_b, hamming ≤ radius) from
     a (simhash) table of distinct hash values — the shared skew-proof
@@ -550,27 +584,11 @@ def _hamming_cand(dh: DataFrame, *, radius: int, max_bucket: int) -> DataFrame:
     member pairs) and `simhash_group_pairs` (which hands the hash-group
     graph straight to clustering). ``dh`` should already be persisted
     (its plan is consumed by several branches of one job)."""
-    blocks = min(radius + 1, 32)
-    width = 64 // blocks
-    specs = []  # (block_id, shift, bits)
-    for i in range(blocks):
-        bits = width + (64 - width * blocks if i == blocks - 1 else 0)
-        specs.append((i, i * width, bits))
+    specs = _pigeonhole_specs(radius)
+    blocks = len(specs)
+    width = specs[0][2]
 
-    dex = dh.select(
-        "simhash",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(i).alias("blk"),
-                    F.shiftright(F.col("simhash"), shift)
-                    .bitwiseAND(F.lit((1 << bits) - 1) if bits < 64 else F.lit(-1))
-                    .alias("bv"),
-                )
-                for (i, shift, bits) in specs
-            ])
-        ).alias("e"),
-    ).select("simhash", "e.blk", "e.bv")
+    dex = _block_explode(dh, "simhash", specs)
 
     heavy_keys = (
         dex.groupBy("blk", "bv")

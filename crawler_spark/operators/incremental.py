@@ -160,10 +160,13 @@ def phash_index_update(
     radius: int = 6,
     max_bucket: int = 4096,
     stats: dict | None = None,
+    plans: dict | None = None,
 ) -> DataFrame:
     """Fold a delta batch of (id, hash) rows into the index; returns the
     updated index (INDEX_COLS schema, checkpointed). The previous
     `index` DataFrame is NOT released — the caller owns its lifecycle.
+    Pass a dict as ``plans`` to receive the physical-plan strings of the
+    index-consuming stages (test seam for the no-index-shuffle pin).
 
     Cost is delta-scale throughout: the base corpus participates only
     through (a) the bucket-probed touched-hash set (step 2 of the
@@ -309,6 +312,10 @@ def phash_index_update(
             F.coalesce("new_comp", F.col("gid")).alias("comp"),
         )
     )
+    if plans is not None:
+        plans["existing"] = (
+            existing._jdf.queryExecution().executedPlan().toString()
+        )
     out = existing.unionByName(fresh).localCheckpoint()
     for cached in (remap, dlab, new_pairs, uh, touched_lab, dgrp):
         cached.unpersist()

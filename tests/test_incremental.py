@@ -166,6 +166,38 @@ def test_update_cost_is_delta_scale(spark):
     assert idx1.count() == 2002
 
 
+def test_index_is_never_shuffle_joined(spark):
+    """The scale contract: the corpus-scale index participates in the
+    update via broadcast joins only — ONE map-side pass, no shuffle.
+    With auto-broadcast disabled, every index-side equi-join must still
+    plan as BroadcastHashJoin (from the explicit hints); a
+    SortMergeJoin or ShuffledHashJoin over the index would mean the
+    10^10-row side gets exchanged every batch."""
+    base = [(i, (i * 0x9E3779B97F4A7C15) % (1 << 63)) for i in range(500)]
+    idx0 = phash_index_build(_df(spark, base), radius=RADIUS)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    plans: dict = {}
+    try:
+        phash_index_update(
+            idx0, _df(spark, [(900, 123), (901, 123)]), radius=RADIUS,
+            plans=plans,
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    plan = plans["existing"]
+    # the tree prints each join BEFORE its children and the index scan
+    # is the left (first) child of the innermost join, so the text
+    # above the "Scan ExistingRDD" line is exactly the spine of joins
+    # that consume the index. Delta-scale self-joins inside embedded
+    # cached subtrees (below the scan line) may legitimately sort-merge.
+    spine = plan[: plan.index("Scan ExistingRDD")]
+    assert "SortMergeJoin" not in spine, spine
+    assert "ShuffledHashJoin" not in spine, spine
+    assert "Exchange hashpartitioning" not in spine, spine
+    assert spine.count("BroadcastHashJoin") == 3, spine
+
+
 def test_three_batch_chain_with_merges(spark):
     """Chained updates where every batch both extends old components
     and creates new ones; final state == batch, labels == batch."""

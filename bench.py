@@ -83,6 +83,13 @@ def main() -> None:
         # stream startup + checkpoint commits)
         "stream_rollup",
         "stream_host_budget",
+        # r4 session 2: the O(delta) index fold. Wall here is dominated
+        # by fixed superstep overhead (TWO cc loops: build + contracted
+        # update) plus radius-6 level-1 saturation at sf scale (512
+        # buckets/block, so the touched probe returns most of the tiny
+        # base); the operating point that matters is the 10^7-hash
+        # rehearsal in BENCH.md (fold wall flat across 10x delta sizes).
+        "incremental_dedup",
     ]
     # The minhash/simhash driver entries (and the composed text-corpus
     # face built on minhash) use the md5 hash family so the DuckDB

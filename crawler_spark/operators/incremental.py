@@ -182,15 +182,7 @@ def phash_index_update(
     # The index side is touched MAP-SIDE only (explode + broadcast
     # semi-join): at 10^10 the (blk, bv) exploded form is the stored
     # posting-list layout, so this probe is a partition-pruned read.
-    dbuckets = _block_explode(
-        dgrp.select("phash"), "phash", specs
-    ).select("blk", "bv").distinct()
-    touched_hashes = (
-        _block_explode(index.select("phash"), "phash", specs)
-        .join(F.broadcast(dbuckets), ["blk", "bv"], "left_semi")
-        .select("phash")
-        .distinct()
-    )
+    touched_hashes = _touched_hashes(index.select("phash"), dgrp, specs)
     # touched hashes with their existing component label, pinned —
     # delta-scale rows, derived from the index without shuffling it
     touched_lab = (
@@ -198,7 +190,60 @@ def phash_index_update(
         .select("phash", F.col("comp").alias("lab"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # delta-present index slice (phash → current comp), map-side
+    idx_hit = (
+        index.join(F.broadcast(dgrp.select("phash")), "phash", "left_semi")
+        .select("phash", F.col("comp").alias("old_comp"))
+    )
+    dlab, new_pairs, d_edge, remap = _fold_core(
+        dgrp, touched_lab, idx_hit,
+        radius=radius, max_bucket=max_bucket, stats=stats,
+    )
 
+    # -- step 5: upsert + map-side comp remap --
+    # every join against the corpus-scale index broadcasts its
+    # delta-scale side: ONE map-side pass over the index, no shuffle
+    existing = _rewrite_rows(index, dlab, d_edge, remap)
+    fresh = _fresh_rows(dlab, d_edge, remap)
+    if plans is not None:
+        plans["existing"] = (
+            existing._jdf.queryExecution().executedPlan().toString()
+        )
+    out = existing.unionByName(fresh).localCheckpoint()
+    for cached in (remap, d_edge, dlab, new_pairs, touched_lab, dgrp):
+        cached.unpersist()
+    return out
+
+
+def _touched_hashes(index_hashes: DataFrame, dgrp: DataFrame, specs) -> DataFrame:
+    """Distinct indexed hashes sharing ≥1 level-1 pigeonhole bucket with
+    the delta — the only base hashes that can form a qualifying pair."""
+    dbuckets = _block_explode(
+        dgrp.select("phash"), "phash", specs
+    ).select("blk", "bv").distinct()
+    return (
+        _block_explode(index_hashes, "phash", specs)
+        .join(F.broadcast(dbuckets), ["blk", "bv"], "left_semi")
+        .select("phash")
+        .distinct()
+    )
+
+
+def _fold_core(
+    dgrp: DataFrame,
+    touched_lab: DataFrame,
+    idx_hit: DataFrame,
+    *,
+    radius: int,
+    max_bucket: int,
+    stats: dict | None,
+):
+    """Steps 3-4 of the fold, shared by the dense and LSM index faces:
+    exact new pairs over delta ∪ touched, contracted-supernode
+    connected components, changed-labels broadcast map. ``touched_lab``
+    must be (phash, lab=current comp) persisted; ``idx_hit`` is
+    (phash, old_comp) for delta-present hashes. Returns persisted
+    (dlab, new_pairs, d_edge, remap); the caller releases them."""
     # -- step 3: exact qualifying pairs touching the delta --
     uh = (
         dgrp.select(F.col("phash").alias("simhash"))
@@ -227,13 +272,7 @@ def phash_index_update(
     )
 
     # -- step 4: contracted supernode graph --
-    # label(h) = existing comp if the hash is indexed, else its delta
-    # gid. The index slice for delta-present hashes is another
-    # broadcast-semi probe (delta-scale rows, map-side read).
-    idx_hit = (
-        index.join(F.broadcast(dgrp.select("phash")), "phash", "left_semi")
-        .select("phash", F.col("comp").alias("old_comp"))
-    )
+    # label(h) = existing comp if the hash is indexed, else its delta gid
     dlab = dgrp.join(F.broadcast(idx_hit), "phash", "left").select(
         "phash",
         "gid",
@@ -278,12 +317,19 @@ def phash_index_update(
         stats["n_new_pairs"] = new_pairs.count()
         stats["n_relabel"] = remap.count()
 
-    # -- step 5: upsert + map-side comp remap --
-    # every join against the corpus-scale index broadcasts its
-    # delta-scale side: ONE map-side pass over the index, no shuffle
-    d_edge = _edge_hash_flags(new_pairs)
-    existing = (
-        index.join(
+    d_edge = _edge_hash_flags(new_pairs).persist(StorageLevel.MEMORY_AND_DISK)
+    uh.unpersist()
+    return dlab, new_pairs, d_edge, remap
+
+
+def _rewrite_rows(rows: DataFrame, dlab: DataFrame, d_edge: DataFrame,
+                  remap: DataFrame) -> DataFrame:
+    """Apply a fold's outcome to EXISTING index rows: merge delta
+    membership (gid/gsz), set new edge flags, remap changed components.
+    Every join broadcasts its delta-scale side — ``rows`` (possibly the
+    whole corpus-scale index) passes through map-side, unshuffled."""
+    return (
+        rows.join(
             F.broadcast(
                 dlab.select("phash", F.col("gid").alias("dgid"), F.col("gsz").alias("dn"))
             ),
@@ -300,7 +346,11 @@ def phash_index_update(
             F.coalesce("new_comp", F.col("comp")).alias("comp"),
         )
     )
-    fresh = (
+
+
+def _fresh_rows(dlab: DataFrame, d_edge: DataFrame, remap: DataFrame) -> DataFrame:
+    """Index rows for delta hashes not previously indexed."""
+    return (
         dlab.where(F.col("old_comp").isNull())
         .join(F.broadcast(d_edge), "phash", "left")
         .join(F.broadcast(remap), F.col("lab") == F.col("comp"), "left")
@@ -312,14 +362,153 @@ def phash_index_update(
             F.coalesce("new_comp", F.col("gid")).alias("comp"),
         )
     )
-    if plans is not None:
-        plans["existing"] = (
-            existing._jdf.queryExecution().executedPlan().toString()
+
+
+class LSMPhashIndex:
+    """The 10^10 write path for the dedup index: LSM frames instead of
+    full-index rewrites (the same discipline as the crawl seen-set's
+    ``state_maintenance="lsm"`` and state/stores.LSMStore).
+
+    `phash_index_update` returns the WHOLE updated index, so its
+    materialization pays one corpus-scale (if map-side) pass per batch.
+    Here an update materializes ONLY the rows a fold actually changes —
+    delta-present hashes, members of merged components, fresh hashes —
+    as an immutable frame; the base is never rewritten. Latest frame
+    wins per hash. Probes (touched-bucket, delta-present) run over
+    base ∪ frames exactly as before — every layer is read map-side via
+    broadcast semi-joins, and latest-wins resolution happens on the
+    DELTA-SCALE hit sets, never the corpus. `resolved()` yields the
+    dense view (frame hash set broadcast, base anti-joined map-side);
+    `compact()` folds frames into a new base on the caller's cadence,
+    bounding the frame stack the same way `_lsm_compact` bounds the
+    crawl's seen deltas.
+
+    Equality contract (pinned in tests/test_incremental.py): after any
+    update/compact sequence, `resolved()` is row-identical to the dense
+    `phash_index_update` chain and to `phash_index_build` over the
+    union corpus.
+
+    The comp sweep that finds merged-component members may pull a STALE
+    layer row whose latest version's comp is unchanged (old labels can
+    coincide with current labels of other components); the frame then
+    re-emits that hash's latest content verbatim — harmless under
+    latest-wins, never wrong.
+    """
+
+    def __init__(self, base: DataFrame, frames=(), *, radius: int = 6,
+                 max_bucket: int = 4096):
+        self.base = base
+        self.frames = list(frames)
+        self.radius = radius
+        self.max_bucket = max_bucket
+
+    @classmethod
+    def build(cls, images: DataFrame, id_col: str = "image_id",
+              hash_col: str = "phash", *, radius: int = 6,
+              max_bucket: int = 4096) -> "LSMPhashIndex":
+        base = phash_index_build(images, id_col, hash_col,
+                                 radius=radius, max_bucket=max_bucket)
+        return cls(base, radius=radius, max_bucket=max_bucket)
+
+    # -- layered access -------------------------------------------------
+    def _layers(self):
+        out = [self.base.withColumn("_seq", F.lit(0))]
+        for i, f in enumerate(self.frames, start=1):
+            out.append(f.withColumn("_seq", F.lit(i)))
+        return out
+
+    def _view(self) -> DataFrame:
+        v = self._layers()[0]
+        for layer in self._layers()[1:]:
+            v = v.unionByName(layer)
+        return v
+
+    @staticmethod
+    def _latest(hits: DataFrame) -> DataFrame:
+        """Latest-wins per hash over layered rows carrying ``_seq`` —
+        one struct-max argmax aggregation; run it on delta-scale hit
+        sets only (resolved() bounds its input to the frame hash set)."""
+        return (
+            hits.groupBy("phash")
+            .agg(F.max(F.struct("_seq", "gid", "gsz", "has_edge", "comp")).alias("b"))
+            .select("phash", "b.gid", "b.gsz", "b.has_edge", "b.comp")
         )
-    out = existing.unionByName(fresh).localCheckpoint()
-    for cached in (remap, dlab, new_pairs, uh, touched_lab, dgrp):
-        cached.unpersist()
-    return out
+
+    # -- operations ------------------------------------------------------
+    def update(self, delta: DataFrame, id_col: str = "image_id",
+               hash_col: str = "phash", *, stats: dict | None = None,
+               ) -> "LSMPhashIndex":
+        """Fold a delta batch; returns a NEW LSMPhashIndex sharing this
+        one's base/frames plus one changed-rows frame (checkpointed)."""
+        specs = _pigeonhole_specs(self.radius)
+        dgrp = _hash_groups(delta, id_col, hash_col).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        view = self._view()
+        # duplicate hashes across layers are fine: the touched probe
+        # dedups its (delta-scale) match set, and comps resolve below
+        touched_hashes = _touched_hashes(view.select("phash"), dgrp, specs)
+        touched_lab = (
+            self._latest(view.join(F.broadcast(touched_hashes), "phash", "left_semi"))
+            .select("phash", F.col("comp").alias("lab"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        idx_hit = self._latest(
+            view.join(F.broadcast(dgrp.select("phash")), "phash", "left_semi")
+        ).select("phash", F.col("comp").alias("old_comp"))
+
+        dlab, new_pairs, d_edge, remap = _fold_core(
+            dgrp, touched_lab, idx_hit,
+            radius=self.radius, max_bucket=self.max_bucket, stats=stats,
+        )
+
+        # changed rows ONLY: delta-present hashes (gid/gsz), members of
+        # remapped components (comp sweep = map-side broadcast semi over
+        # layers), and hashes gaining a new edge (has_edge can flip on a
+        # base hash whose comp does NOT move — it may already be its
+        # component's min, so the remap sweep alone would miss it)
+        swept = view.join(
+            F.broadcast(remap.select("comp")), "comp", "left_semi"
+        ).select("phash")
+        changed_hashes = (
+            swept.unionByName(dgrp.select("phash"))
+            .unionByName(d_edge.select("phash"))
+            .distinct()
+        )
+        changed_latest = self._latest(
+            view.join(F.broadcast(changed_hashes), "phash", "left_semi")
+        )
+        frame = (
+            _rewrite_rows(changed_latest, dlab, d_edge, remap)
+            .unionByName(_fresh_rows(dlab, d_edge, remap))
+            .localCheckpoint()
+        )
+        if stats is not None:
+            stats["frame_rows"] = frame.count()
+        for cached in (remap, d_edge, dlab, new_pairs, touched_lab, dgrp):
+            cached.unpersist()
+        return LSMPhashIndex(self.base, self.frames + [frame],
+                             radius=self.radius, max_bucket=self.max_bucket)
+
+    def resolved(self) -> DataFrame:
+        """The dense index view: latest frame row per hash, base rows
+        not superseded pass through via one broadcast anti-join —
+        map-side over the corpus-scale base."""
+        if not self.frames:
+            return self.base
+        fr = self._layers()[1]
+        for layer in self._layers()[2:]:
+            fr = fr.unionByName(layer)
+        f_latest = self._latest(fr)
+        return self.base.join(
+            F.broadcast(f_latest.select("phash")), "phash", "left_anti"
+        ).unionByName(f_latest)
+
+    def compact(self) -> "LSMPhashIndex":
+        """Fold all frames into a new checkpointed base (cadence is the
+        caller's; `_lsm_compact` in plans/crawl.py uses every-K-steps)."""
+        return LSMPhashIndex(self.resolved().localCheckpoint(),
+                             radius=self.radius, max_bucket=self.max_bucket)
 
 
 def member_labels(

@@ -217,5 +217,97 @@ def test_three_batch_chain_with_merges(spark):
     )
 
 
+def _random_rows(seed, n=400, n_seeds=30):
+    rng = random.Random(seed)
+    seeds = [rng.getrandbits(64) - (1 << 63) for _ in range(n_seeds)]
+    rows = []
+    for i in range(n):
+        h = seeds[rng.randrange(len(seeds))]
+        for _ in range(rng.randrange(9)):
+            h ^= 1 << rng.randrange(64)
+        rows.append((i, (h + (1 << 63)) % (1 << 64) - (1 << 63)))
+    rng.shuffle(rows)
+    return rows
+
+
+def test_lsm_equals_dense_chain(spark):
+    """The LSM face (changed-rows frames, latest-wins) must resolve to
+    the SAME index as the dense update chain and the one-shot build,
+    through a 4-batch fold with a mid-chain compaction."""
+    from crawler_spark.operators.incremental import LSMPhashIndex
+
+    rows = _random_rows(0xBEEF)
+    batches = [rows[:100], rows[100:200], rows[200:300], rows[300:]]
+
+    dense = _fold(spark, batches)
+
+    lsm = LSMPhashIndex.build(_df(spark, batches[0]), radius=RADIUS)
+    for i, b in enumerate(batches[1:]):
+        lsm = lsm.update(_df(spark, b))
+        if i == 1:
+            lsm = lsm.compact()
+            assert lsm.frames == []
+    assert _index_rows(lsm.resolved()) == _index_rows(dense)
+    assert _label_rows(member_labels(_df(spark, rows), lsm.resolved())) == (
+        _batch_labels(spark, rows)
+    )
+
+
+def test_lsm_frame_is_changed_scale(spark):
+    """A frame materializes only what the fold changed: for a tiny
+    delta against a 2000-hash base, frame rows stay delta-bounded while
+    the dense path would rewrite all 2000."""
+    from crawler_spark.operators.incremental import LSMPhashIndex
+
+    # i from 1: i=0 would plant phash 0, which is hamming-6 from 123
+    base = [(i, (i * 0x9E3779B97F4A7C15) % (1 << 63)) for i in range(1, 2000)]
+    lsm = LSMPhashIndex.build(_df(spark, base), radius=RADIUS)
+    stats: dict = {}
+    lsm2 = lsm.update(_df(spark, [(5000, 123), (5001, 123)]), stats=stats)
+    assert stats["frame_rows"] <= 10, stats
+    assert lsm2.resolved().count() == 2000
+    got = _label_rows(member_labels(
+        _df(spark, base + [(5000, 123), (5001, 123)]), lsm2.resolved()
+    ))
+    assert got == [(5000, 5000), (5001, 5000)]
+
+
+def test_lsm_edge_flip_without_comp_change(spark):
+    """A delta hash pairs with a base hash that is ALREADY its
+    component's min: comp doesn't move, but has_edge must flip and the
+    base member must start being emitted — the changed-set must include
+    new-edge hashes, not just remapped components."""
+    from crawler_spark.operators.incremental import LSMPhashIndex
+
+    far = 0x5555555555555555
+    base = [(3, 7), (4, far)]
+    lsm = LSMPhashIndex.build(_df(spark, base), radius=RADIUS)
+    lsm2 = lsm.update(_df(spark, [(9, 7 ^ 1)]))
+    everything = base + [(9, 7 ^ 1)]
+    got = _label_rows(member_labels(_df(spark, everything), lsm2.resolved()))
+    assert got == [(3, 3), (9, 3)]
+    assert _index_rows(lsm2.resolved()) == _index_rows(
+        phash_index_build(_df(spark, everything), radius=RADIUS)
+    )
+
+
+def test_lsm_merge_across_frames(spark):
+    """A later frame must shadow an earlier one: batch 2 bridges two
+    components created across base + frame 1, and the stale frame-1
+    comp rows lose to the merged relabel under latest-wins."""
+    from crawler_spark.operators.incremental import LSMPhashIndex
+
+    h0, h1, mid = 0, 0xFFF, 0x3F
+    lsm = LSMPhashIndex.build(_df(spark, [(10, h0), (11, h0)]), radius=RADIUS)
+    lsm = lsm.update(_df(spark, [(12, h1), (13, h1)]))
+    lsm = lsm.update(_df(spark, [(14, mid)]))  # bridges h0↔mid↔h1
+    everything = [(10, h0), (11, h0), (12, h1), (13, h1), (14, mid)]
+    got = _label_rows(member_labels(_df(spark, everything), lsm.resolved()))
+    assert got == [(10, 10), (11, 10), (12, 10), (13, 10), (14, 10)]
+    assert _index_rows(lsm.resolved()) == _index_rows(
+        phash_index_build(_df(spark, everything), radius=RADIUS)
+    )
+
+
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-x", "-q"]))

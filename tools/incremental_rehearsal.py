@@ -97,6 +97,16 @@ def run(spark, base, idx0, wall_build: float, n_base: int, d: int) -> dict:
     idx1 = phash_index_update(idx0, delta, radius=RADIUS, stats=stats)
     wall_update = time.time() - t1
 
+    # LSM face: same fold, but materializing ONLY the changed rows as a
+    # frame — the write path that stays O(changed) at 10^10
+    from crawler_spark.operators.incremental import LSMPhashIndex
+
+    lsm_stats: dict = {}
+    lsm = LSMPhashIndex(idx0, radius=RADIUS)
+    t1b = time.time()
+    lsm1 = lsm.update(delta, stats=lsm_stats)
+    wall_lsm = time.time() - t1b
+
     # the re-cluster-the-world cost the fold replaces
     t2 = time.time()
     ref = phash_index_build(everything, radius=RADIUS)
@@ -120,17 +130,26 @@ def run(spark, base, idx0, wall_build: float, n_base: int, d: int) -> dict:
     ref_lab = member_labels(everything, ref)
     assert ref_lab.count() == n_members
     assert ref.count() == n_hashes
+    # LSM face resolves to the same index (hash count + emitted members)
+    lsm_view = lsm1.resolved()
+    assert lsm_view.count() == n_hashes
+    assert member_labels(everything, lsm_view).count() == n_members
     lab.unpersist()
     release_checkpoint(ref)
     release_checkpoint(idx1)
+    for fr in lsm1.frames:
+        release_checkpoint(fr)
     delta.unpersist()
 
     return {
         f"d{d}": dict(
             wall_build_s=round(wall_build, 1),
             wall_update_s=round(wall_update, 1),
+            wall_lsm_fold_s=round(wall_lsm, 1),
+            lsm_frame_rows=lsm_stats["frame_rows"],
             wall_rebuild_s=round(wall_rebuild, 1),
             update_vs_rebuild_speedup=round(wall_rebuild / wall_update, 1),
+            lsm_vs_rebuild_speedup=round(wall_rebuild / wall_lsm, 1),
             n_touched_base=stats["n_touched_base"],
             touched_fraction=round(stats["n_touched_base"] / n_base, 4),
             n_new_pairs=stats["n_new_pairs"],

@@ -401,6 +401,41 @@ def q_ann_ivf_topk(spark, sf_dir):
     return res.select(F.col("id").alias("vec_id"), F.round("score", 4).alias("score"))
 
 
+def q_ann_ivf_append(spark, sf_dir):
+    """IVF incremental append (similarity.ivf_append_index) — the ANN
+    analog of the O(delta) index folds: train+build on the base slice
+    (vec_id % 5 != 0), fold the delta slice in against the FROZEN
+    centroids (no retrain, no base scan), then run the partition-pruned
+    query over the merged index. The oracle re-trains the deterministic
+    mini-k-means on the base slice in SQL, assigns ALL vectors to the
+    frozen centroids, and probes the same cells — append must be
+    invisible in the result."""
+    import shutil
+    import tempfile
+
+    from crawler_spark.operators.similarity import (
+        ivf_append_index,
+        ivf_build_index,
+        ivf_query_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % 5 != 0)
+    delta = emb.where(F.col("vec_id") % 5 == 0)
+    qrow = emb.orderBy("vec_id").select("embedding").first()
+    path = tempfile.mkdtemp(prefix="ivf_append_")
+    try:
+        ivf_build_index(base, "vec_id", "embedding", path, n_centroids=8)
+        ivf_append_index(delta, "vec_id", "embedding", path)
+        res = ivf_query_index(spark, path, list(qrow["embedding"]), 10, nprobe=4)
+        out = res.select(
+            F.col("id").alias("vec_id"), F.round("score", 4).alias("score")
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return out
+
+
 def q_embedding_dup_pairs(spark, sf_dir):
     """Exact brute-force cosine≥τ pairs (the oracle-checkable face of the
     SRP-bucketed near-dup operator)."""
@@ -1606,6 +1641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_srp_topk": q_ann_srp_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_append": q_ann_ivf_append,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "mm_payload_stats": q_mm_payload_stats,
         "payload_fmt_rollup": q_payload_fmt_rollup,
@@ -1848,21 +1884,28 @@ LIMIT {k}
 """
 
 
-def _ivf_oracle_sql(nc=8, nprobe=4, k=10):
+def _ivf_oracle_sql(nc=8, nprobe=4, k=10, train_filter=None):
     """DuckDB recomputation of the deterministic IVF index: init = first
     nc vectors by id, 2 Lloyd iterations (same argmin tie-break: lowest
-    centroid id), probe the nprobe nearest cells, cosine top-k."""
+    centroid id), probe the nprobe nearest cells, cosine top-k.
+    ``train_filter`` restricts TRAINING (init + Lloyd assignments) to a
+    base slice while the final assignment covers every vector — the
+    append-entry face, where the delta is folded in against frozen
+    centroids."""
     def sqd(vcol, ccol):
         return (f"list_reduce(list_transform({vcol}, (x, j) -> (x - {ccol}[j]) * (x - {ccol}[j])), "
                 "(a, b) -> a + b)")
 
-    def assign(cents):
+    tsrc = "eb" if train_filter else "e"
+
+    def assign(cents, src=None):
+        src = src or tsrc
         return f"""
   SELECT vec_id, v, cid FROM (
     SELECT e.vec_id, e.v, c.cid,
       row_number() OVER (PARTITION BY e.vec_id
                          ORDER BY {sqd('e.v', 'c.cv')} ASC, c.cid ASC) AS rn
-    FROM e CROSS JOIN {cents} c) WHERE rn = 1"""
+    FROM {src} e CROSS JOIN {cents} c) WHERE rn = 1"""
 
     def means(asg):
         return f"""
@@ -1874,12 +1917,16 @@ def _ivf_oracle_sql(nc=8, nprobe=4, k=10):
 
     cos = ("CASE WHEN sqrt(list_dot_product(sel.v, sel.v)) = 0 OR sqrt(list_dot_product(q.qv, q.qv)) = 0 THEN 0.0 "
            "ELSE list_dot_product(sel.v, q.qv) / (sqrt(list_dot_product(sel.v, sel.v)) * sqrt(list_dot_product(q.qv, q.qv))) END")
+    eb_cte = (
+        f", eb AS (\n  SELECT * FROM e WHERE {train_filter}\n)"
+        if train_filter else ""
+    )
     return f"""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
-), c0 AS (
+){eb_cte}, c0 AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v AS cv
-  FROM e ORDER BY vec_id LIMIT {nc}
+  FROM {tsrc} ORDER BY vec_id LIMIT {nc}
 ), a1 AS ({assign('c0')}
 ), m1 AS ({means('a1')}
 ), c1 AS (
@@ -1892,7 +1939,7 @@ WITH e AS (
   SELECT v AS qv FROM e WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
 ), probe AS (
   SELECT c2.cid FROM c2, q ORDER BY {sqd('q.qv', 'c2.cv')} ASC, c2.cid ASC LIMIT {nprobe}
-), a3 AS ({assign('c2')}
+), a3 AS ({assign('c2', 'e')}
 ), sel AS (
   SELECT a3.vec_id, a3.v FROM a3 JOIN probe USING (cid)
 )
@@ -2181,6 +2228,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": _ANN_SQL,
         "ann_srp_topk": _srp_oracle_sql(),
         "ann_ivf_topk": _ivf_oracle_sql(),
+        # append face: training restricted to the base slice, final
+        # assignment over everything — frozen-centroid fold invisible
+        "ann_ivf_append": _ivf_oracle_sql(train_filter="vec_id % 5 <> 0"),
         "embedding_dup_pairs": _EMB_PAIRS_SQL,
         "mm_payload_stats": (
             "SELECT doc_id, octet_length(encode(text)) AS n_bytes, "

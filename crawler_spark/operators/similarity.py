@@ -288,6 +288,35 @@ def ivf_build_index(
     return cents
 
 
+def ivf_append_index(
+    delta: DataFrame,
+    id_col: str,
+    vec_col: str,
+    index_path: str,
+) -> None:
+    """Fold a delta batch into a persisted IVF index at O(delta) cost —
+    the ANN analog of the crawl-batch index folds (LSMPhashIndex, the
+    seen-set LSM): assign the delta to the EXISTING centroids (frozen —
+    read back from the tiny centroids table, no retrain, no base scan)
+    and append its parquet files under the matching centroid
+    partitions. Queries see base ∪ delta transparently through the same
+    pruned scan, and results equal an index built over the union with
+    the same centroids BY CONSTRUCTION: assignment is a pure function
+    of (vector, centroids). Centroid drift under sustained appends is
+    the caller's cadence decision — periodically re-run
+    `ivf_build_index` (the compaction discipline)."""
+    spark = delta.sparkSession
+    rows = spark.read.parquet(index_path + "/centroids").collect()
+    cents = [list(r["cv"]) for r in sorted(rows, key=lambda r: r["centroid"])]
+    assigned = ivf_assign(delta, id_col, vec_col, cents)
+    (
+        assigned.repartition("centroid")
+        .write.mode("append")
+        .partitionBy("centroid")
+        .parquet(index_path + "/vectors")
+    )
+
+
 def ivf_query_index(
     spark,
     index_path: str,

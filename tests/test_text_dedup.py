@@ -385,6 +385,67 @@ def test_ivf_persisted_index(spark, tmp_path):
     assert "PartitionFilters: [centroid" in plan and "IN (" in plan
 
 
+def test_ivf_append_equals_frozen_union(spark, tmp_path):
+    """O(delta) IVF append: fold a delta into a base-built index with
+    frozen centroids — every query over the merged index must equal an
+    index built over the UNION with the same centroids (assignment is a
+    pure function of vector × centroids), and the appended files must
+    land inside the existing centroid partitions (no re-shuffle of the
+    base, pruning still applies)."""
+    from crawler_spark.operators.similarity import (
+        ivf_append_index,
+        ivf_assign,
+        ivf_build_index,
+        ivf_query_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.where(F.col("vec_id") % 4 != 0)
+    delta = emb.where(F.col("vec_id") % 4 == 0)
+    idx = str(tmp_path / "ivf_app")
+    cents = ivf_build_index(base, "vec_id", "embedding", idx, n_centroids=8)
+    ivf_append_index(delta, "vec_id", "embedding", idx)
+
+    # every vector present exactly once, in its frozen-centroid cell
+    merged = spark.read.parquet(idx + "/vectors")
+    assert merged.count() == emb.count()
+    ref = ivf_assign(emb, "vec_id", "embedding", cents).select(
+        "id", F.col("centroid").alias("c_ref")
+    )
+    mism = (
+        merged.select("id", "centroid").join(ref, "id")
+        .where(F.col("centroid") != F.col("c_ref")).count()
+    )
+    assert mism == 0
+
+    # query parity across several probes incl. delta-only neighborhoods
+    for qid in [r["vec_id"] for r in emb.orderBy("vec_id").limit(3).collect()]:
+        q = list(emb.where(F.col("vec_id") == qid).first()["embedding"])
+        got = [
+            (r["id"], round(r["score"], 6))
+            for r in ivf_query_index(spark, idx, q, 10, nprobe=4).collect()
+        ]
+        # reference: same frozen centroids over the union, no index
+        probe = sorted(
+            range(len(cents)),
+            key=lambda c: (sum((a - b) ** 2 for a, b in zip(q, cents[c])), c),
+        )[:4]
+        from crawler_spark.operators.similarity import cosine
+
+        sel = ivf_assign(emb, "vec_id", "embedding", cents).where(
+            F.col("centroid").isin(probe)
+        )
+        qcol = F.array(*[F.lit(float(x)) for x in q])
+        want = [
+            (r["id"], round(r["score"], 6))
+            for r in sel.select("id", cosine(F.col("v"), qcol).alias("score"))
+            .orderBy(F.col("score").desc(), F.col("id").asc())
+            .limit(10)
+            .collect()
+        ]
+        assert got == want, (qid, got, want)
+
+
 def test_srp_multiprobe_improves_recall(spark):
     """Multi-probe LSH: flipping the query's least-confident hyperplane
     bits probes the buckets a true neighbour most plausibly fell into.

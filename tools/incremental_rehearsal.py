@@ -160,10 +160,90 @@ def run(spark, base, idx0, wall_build: float, n_base: int, d: int) -> dict:
     }
 
 
+def build_chain_delta(spark, n_base: int, d: int, fold: int):
+    """Fold-disjoint delta: extenders target triple range
+    [fold*half, fold*half+half) with hamming-1 hashes; fresh pairs salt
+    their hash by fold — no two folds touch the same planted structure,
+    so chain invariants stay exactly additive."""
+    half = d // 2
+    start = n_base + fold * d
+    j = F.col("id") - start  # 0..d-1
+    tgt = (j + fold * half).cast("string")
+    ext_h = F.xxhash64(F.concat(F.lit("ph"), tgt)).bitwiseXOR(F.lit(2))
+    fresh_g = ((j - half) / 2).cast("long").cast("string")
+    fresh_h = F.xxhash64(F.concat(F.lit("fresh"), F.lit(str(fold)), fresh_g))
+    return spark.range(start, start + d).select(
+        F.col("id").alias("image_id"),
+        F.when(j < half, ext_h).otherwise(fresh_h).alias("phash"),
+    )
+
+
+def run_chain(spark, n_base: int, d: int, folds: int) -> dict:
+    """Sustained operation: F successive LSM folds with one mid-chain
+    compaction, per-fold walls (must stay flat), superseded checkpoint
+    generations released, final end state exact."""
+    from crawler_spark.operators.incremental import (
+        LSMPhashIndex,
+        member_labels,
+        phash_index_build,
+    )
+    from crawler_spark.state.ckpt import release_checkpoint
+
+    base = build_base(spark, n_base).persist()
+    t0 = time.time()
+    idx = LSMPhashIndex(
+        phash_index_build(base, radius=RADIUS), radius=RADIUS
+    )
+    wall_build = time.time() - t0
+    owned = [idx.base]
+
+    walls, frame_rows = [], []
+    all_rows = base
+    for f in range(folds):
+        delta = build_chain_delta(spark, n_base, d, f)
+        all_rows = all_rows.unionByName(delta)
+        st: dict = {}
+        t1 = time.time()
+        idx = idx.update(delta, stats=st)
+        walls.append(round(time.time() - t1, 1))
+        frame_rows.append(st["frame_rows"])
+        owned.append(idx.frames[-1])
+        if f == folds // 2 - 1:
+            t2 = time.time()
+            idx = idx.compact()
+            wall_compact = round(time.time() - t2, 1)
+            for gen in owned:  # superseded base + frames
+                release_checkpoint(gen)
+            owned = [idx.base]
+
+    half = d // 2
+    fresh_groups = (d - half) // 2
+    n_hashes = idx.resolved().count()
+    assert n_hashes == n_base + folds * (half + fresh_groups), n_hashes
+    n_members = member_labels(all_rows, idx.resolved()).count()
+    lone = 1 if n_base % 3 == 1 else 0
+    assert n_members == n_base + folds * d - lone, n_members
+    for gen in owned:
+        release_checkpoint(gen)
+    base.unpersist()
+    return dict(
+        chain_n_base=n_base,
+        chain_folds=folds,
+        chain_d=d,
+        chain_wall_build_s=round(wall_build, 1),
+        chain_fold_walls_s=walls,
+        chain_frame_rows=frame_rows,
+        chain_wall_compact_s=wall_compact,
+    )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--base", type=int, default=10_000_000)
     ap.add_argument("--smoke", action="store_true", help="3*10^5 base")
+    ap.add_argument("--chain", action="store_true",
+                    help="chained-folds mode: F LSM folds + mid-chain compaction")
+    ap.add_argument("--folds", type=int, default=8)
     ap.add_argument("--cpus", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     args = ap.parse_args()
@@ -180,6 +260,11 @@ def main():
 
     n = 300_000 if args.smoke else args.base
     out: dict = {"n_base": n, "radius": RADIUS}
+    if args.chain:
+        d = max(40, n // 100)
+        out.update(run_chain(spark, n, d, args.folds))
+        print(json.dumps(out))
+        return
     base = build_base(spark, n).persist()
     t0 = time.time()
     idx0 = phash_index_build(base, radius=RADIUS)

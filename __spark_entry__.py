@@ -922,6 +922,60 @@ def q_crawl_html(spark, sf_dir):
     return res.emitted.select("emit_ord", "url", "depth", "status", "outcome").orderBy("emit_ord")
 
 
+def q_crawl_live_dedup(spark, sf_dir):
+    """Crawl × image — the graft cell composed end to end: the engine
+    runs the same derived-web BFS as crawl_bfs while folding each step's
+    fetched payloads into the in-loop incremental dedup index
+    (CrawlEngine(payloads=...) → operators/incremental.LSMPhashIndex,
+    O(step delta) per fold, compaction mid-run; reference analog: the
+    BK-tree controller folding each NEW fingerprint into the existing
+    tree, bktree.go:21-62). Output = near-dup cluster labels for every
+    image the crawl fetched, components named by min event_id — graded
+    against the oracle's INDEPENDENT re-derivation (arithmetic BFS +
+    md5-family phash + recursive-CTE closure). Step batching, LSM
+    frames, and compaction must all be invisible in the end state."""
+    import tempfile
+
+    from crawler_spark.config import CrawlPolicy
+    from crawler_spark.plans.crawl import CrawlEngine
+
+    web, seeds = _derived_web(spark, sf_dir)
+    eid = F.regexp_extract("url", "/e/(\\d+)$", 1).cast("long")
+    web_img = web.withColumn("image_id", eid.cast("string"))
+    # payload table (input_hint shape, metadata cols elided): one image
+    # per page, phash from the md5 family DuckDB recomputes independently
+    payloads = web.select(eid.alias("doc_id")).select(
+        F.col("doc_id").cast("string").alias("image_id"),
+        F.expr(_phash_sql_expr("spark")).alias("phash"),
+    )
+    eng = CrawlEngine(
+        spark, web_img,
+        policy=CrawlPolicy(max_depth=4, max_retry=1, obey_robots=False),
+        workdir=tempfile.mkdtemp(prefix="crawl_dedup_entry_"),
+        max_pops=60,
+        payloads=payloads, dedup_radius=6, dedup_compact_folds=4,
+    )
+    res = eng.run(seeds)
+    crawled = (
+        res.seen.where(F.col("num_visit") >= 1).select("url")
+        .join(web_img.select("url", "image_id"), "url")
+        .select("image_id").distinct()
+        .join(payloads, "image_id")
+    )
+    lab = (
+        crawled.select(F.col("image_id").cast("long").alias("eid"), "phash")
+        .join(res.dedup_index, "phash")
+        .where((F.col("gsz") >= 2) | F.col("has_edge"))
+        .select("eid", "comp")
+    )
+    rep = lab.groupBy("comp").agg(F.min("eid").alias("component"))
+    return (
+        lab.join(F.broadcast(rep), "comp")
+        .select(F.col("eid").alias("image_id"), "component")
+        .orderBy("image_id")
+    )
+
+
 def _phash_sql_expr(dialect: str) -> str:
     """60-bit deterministic perceptual-hash stand-in, expressible in both
     Spark SQL and DuckDB so the oracle recomputes it independently:
@@ -1662,6 +1716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_links": q_extract_links,
         "crawl_bfs": q_crawl_bfs,
         "crawl_html": q_crawl_html,
+        "crawl_live_dedup": q_crawl_live_dedup,
         "diskqueue_pop_order": q_diskqueue_pop_order,
         "store_state_machine": q_store_state_machine,
         "stream_rollup": q_stream_rollup,
@@ -1994,8 +2049,25 @@ def _crawl_bfs_oracle_sql(n_events=2000, n_seeds=3, max_depth=4, max_pops=60):
 
     The derived web is recomputed independently from the events table
     (same arithmetic link rule as _derived_web)."""
-    sql = f"""
-WITH ev AS (
+    return (
+        "\nWITH "
+        + _crawl_bfs_ctes(n_events, n_seeds, max_depth)
+        + f"""
+SELECT CAST(a.seq AS INT) AS emit_ord, a.url, CAST(a.depth AS INT) AS depth,
+       CAST(p.status AS INT) AS status,
+       CASE WHEN p.status = 200 THEN 'ok' ELSE 'retry' END AS outcome
+FROM all_nodes a JOIN pages p ON p.url = a.url
+WHERE a.seq < {max_pops}
+ORDER BY emit_ord
+"""
+    )
+
+
+def _crawl_bfs_ctes(n_events=2000, n_seeds=3, max_depth=4):
+    """The shared CTE chain (ev → pages/edges → unrolled BFS levels →
+    all_nodes) behind every whole-crawl oracle; callers prepend
+    "WITH " or "WITH RECURSIVE " and append their final select."""
+    sql = f"""ev AS (
   SELECT event_id, user_id, event_type FROM events WHERE event_id < {n_events}
 ), nn AS (
   SELECT MAX(event_id) + 1 AS n FROM ev
@@ -2036,15 +2108,41 @@ WITH ev AS (
   FROM c{d}
 ), seen{d} AS (SELECT url FROM seen{p} UNION ALL SELECT url FROM l{d})"""
     levels = " UNION ALL ".join(f"SELECT * FROM l{d}" for d in range(max_depth + 1))
-    sql += f""", all_nodes AS ({levels})
-SELECT CAST(a.seq AS INT) AS emit_ord, a.url, CAST(a.depth AS INT) AS depth,
-       CAST(p.status AS INT) AS status,
-       CASE WHEN p.status = 200 THEN 'ok' ELSE 'retry' END AS outcome
-FROM all_nodes a JOIN pages p ON p.url = a.url
-WHERE a.seq < {max_pops}
-ORDER BY emit_ord
-"""
+    sql += f", all_nodes AS ({levels})"
     return sql
+
+
+def _crawl_dedup_oracle_sql(n_events=2000, n_seeds=3, max_depth=4, max_pops=60):
+    """Whole-crawl × image oracle for q_crawl_live_dedup: WHICH pages get
+    crawled comes from the same arithmetic BFS as crawl_bfs; WHAT the
+    near-dup clusters of their payloads are comes from the md5-family
+    phash + a recursive-CTE closure at Hamming ≤ 6 (the one-shot
+    re-derivation the engine's per-step incremental folds must be
+    indistinguishable from). Components are named by min event_id so the
+    naming is independent of the engine's internal 64-bit member ids."""
+    phash = _phash_sql_expr("duck")
+    return (
+        "WITH RECURSIVE "
+        + _crawl_bfs_ctes(n_events, n_seeds, max_depth)
+        + f""", crawled AS MATERIALIZED (
+  SELECT DISTINCT pg.event_id
+  FROM all_nodes a JOIN pages pg ON pg.url = a.url
+  WHERE a.seq < {max_pops} AND pg.status = 200
+), ph AS MATERIALIZED (
+  SELECT doc_id, {phash} AS phash
+  FROM (SELECT event_id AS doc_id FROM crawled) t
+), pr AS (
+  SELECT a.doc_id AS u, b.doc_id AS v FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.phash, b.phash)) <= 6
+), ed AS MATERIALIZED (SELECT u, v FROM pr UNION SELECT v, u FROM pr),
+r AS (
+  SELECT u, u AS m FROM (SELECT DISTINCT u FROM ed)
+  UNION SELECT e.v AS u, r.m FROM r JOIN ed e ON e.u = r.u
+)
+SELECT CAST(u AS BIGINT) AS image_id, CAST(min(m) AS BIGINT) AS component
+FROM r GROUP BY u ORDER BY image_id
+"""
+    )
 
 
 _EMB_PAIRS_SQL = """
@@ -2307,6 +2405,9 @@ def oracle_sql() -> dict[str, str]:
         # html-mode whole-crawl: the SQL re-derives every link arithmetically
         # (the same BFS oracle) — the entry must re-FIND them by parsing HTML
         "crawl_html": _crawl_bfs_oracle_sql(),
+        # crawl × image: in-loop incremental dedupe graded against the
+        # one-shot BFS + phash-closure re-derivation
+        "crawl_live_dedup": _crawl_dedup_oracle_sql(),
         # Q4: a correct spill queue's pop sequence IS the plain total
         # order over everything pushed — spills/reloads must not change it
         "diskqueue_pop_order": (

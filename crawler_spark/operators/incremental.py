@@ -78,6 +78,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from crawler_spark.operators.components import connected_components
+from crawler_spark.state.ckpt import checkpoint_cut_stats
 from crawler_spark.operators.dedup import (
     _block_explode,
     _hamming_cand,
@@ -144,8 +145,8 @@ def phash_index_build(
             F.coalesce("has_edge", F.lit(False)).alias("has_edge"),
             F.coalesce("cc", F.col("gid")).alias("comp"),
         )
-        .localCheckpoint()
     )
+    index = checkpoint_cut_stats(index)
     dh.unpersist()
     grp.unpersist()
     return index
@@ -209,7 +210,7 @@ def phash_index_update(
         plans["existing"] = (
             existing._jdf.queryExecution().executedPlan().toString()
         )
-    out = existing.unionByName(fresh).localCheckpoint()
+    out = checkpoint_cut_stats(existing.unionByName(fresh))
     for cached in (remap, d_edge, dlab, new_pairs, touched_lab, dgrp):
         cached.unpersist()
     return out
@@ -481,8 +482,8 @@ class LSMPhashIndex:
         frame = (
             _rewrite_rows(changed_latest, dlab, d_edge, remap)
             .unionByName(_fresh_rows(dlab, d_edge, remap))
-            .localCheckpoint()
         )
+        frame = checkpoint_cut_stats(frame)
         if stats is not None:
             stats["frame_rows"] = frame.count()
         for cached in (remap, d_edge, dlab, new_pairs, touched_lab, dgrp):
@@ -507,7 +508,7 @@ class LSMPhashIndex:
     def compact(self) -> "LSMPhashIndex":
         """Fold all frames into a new checkpointed base (cadence is the
         caller's; `_lsm_compact` in plans/crawl.py uses every-K-steps)."""
-        return LSMPhashIndex(self.resolved().localCheckpoint(),
+        return LSMPhashIndex(checkpoint_cut_stats(self.resolved()),
                              radius=self.radius, max_bucket=self.max_bucket)
 
 

@@ -55,7 +55,7 @@ from crawler_spark.config import CrawlPolicy
 from crawler_spark.functions.urlnorm import canonicalize_udf, resolve_links_udf
 from crawler_spark.operators.ordering import dense_ordinal, prio_col, with_emit_order
 from crawler_spark.operators.selection import admit_hosts, select_batch
-from crawler_spark.state.ckpt import release_checkpoint
+from crawler_spark.state.ckpt import checkpoint_cut_stats, release_checkpoint
 from crawler_spark.state.snapshot import SnapshotStore
 
 FRONTIER_SCHEMA = StructType([
@@ -111,57 +111,16 @@ _CACHE_JOIN_COLS = (
 )
 
 
-_WARNED_CKPT_FALLBACK = False
 _FORCE_CKPT_FALLBACK = False  # tests flip this to exercise the fallback
 
 
 def _checkpoint(df: DataFrame) -> DataFrame:
-    """Materialize + cut lineage AND cut statistics.
-
-    ``Dataset.localCheckpoint`` preserves the optimized plan's size
-    statistics on the resulting LogicalRDD. In an iterative loop whose
-    state is built from joins over the previous state, Catalyst's
-    size-only join estimation then *multiplies* those preserved stats
-    step over step — the sizeInBytes BigInt doubles in bit-length every
-    step, and by step ~20 planning burns minutes inside
-    BigInteger.multiply (measured: step latency 3.4s → 50s between steps
-    12 and 20). Rebuilding the frame from the checkpointed internal RDD
-    drops the poisoned stats (leaf reverts to defaultSizeInBytes, a
-    constant). Broadcast decisions don't regress: the loop broadcasts
-    its small sides explicitly.
-
-    The stats-cut goes through private JVM seams (`queryExecution().
-    toRdd()` + `internalCreateDataFrame`) that a Spark upgrade may move;
-    if they throw, fall back to the plain localCheckpoint — the engine
-    stays CORRECT, only the per-step planning cost regresses (pin the
-    Spark version or re-find the seam if that happens; the fallback
-    logs once). Verified against pyspark 4.1.x.
-    """
-    spark = df.sparkSession
-    ck = df.localCheckpoint(eager=True)
-    try:
-        if _FORCE_CKPT_FALLBACK:
-            raise RuntimeError("forced fallback (tests exercise the seamless path)")
-        jrdd = ck._jdf.queryExecution().toRdd()
-        jschema = spark._jvm.org.apache.spark.sql.types.DataType.fromJson(ck.schema.json())
-        out = DataFrame(spark._jsparkSession.internalCreateDataFrame(jrdd, jschema, False), spark)
-    except Exception:
-        global _WARNED_CKPT_FALLBACK
-        if not _WARNED_CKPT_FALLBACK:
-            _WARNED_CKPT_FALLBACK = True
-            import warnings
-
-            warnings.warn(
-                "crawler_spark: internal checkpoint seam unavailable on this "
-                "Spark version; falling back to plain localCheckpoint (correct "
-                "but Catalyst stats poisoning makes long loops re-plan slowly)"
-            )
-        out = ck
-    out._ckpt_source = ck  # handle for _release_checkpoint
-    aux = getattr(df, "_ckpt_aux", None)
-    if aux is not None:
-        out._ckpt_aux = aux  # intermediate checkpoint freed with this one
-    return out
+    """Materialize + cut lineage AND cut statistics — see
+    state/ckpt.checkpoint_cut_stats (shared with the LSM dedup index,
+    which hits the same Catalyst stats-poisoning failure mode when its
+    fold frames chain). `_FORCE_CKPT_FALLBACK` is the test seam that
+    exercises the plain-localCheckpoint fallback path."""
+    return checkpoint_cut_stats(df, force_fallback=_FORCE_CKPT_FALLBACK)
 
 
 # free the blocks of a _checkpoint'ed DataFrame — shared with the other
@@ -195,6 +154,14 @@ def tag_cancelled(
     )
 
 
+def dedup_member_id(image_id):
+    """The member-id mapping the in-loop dedup index folds under:
+    xxhash64 of the payload identity (U3's 64-bit URL identity applied
+    to image_id — functions/hashing.py). Consumers reproducing index
+    labels (tests, entries) must map their ids the same way."""
+    return F.xxhash64(image_id)
+
+
 @dataclass
 class CrawlResult:
     emitted: DataFrame  # crawl order log with emit_ord
@@ -203,6 +170,9 @@ class CrawlResult:
     pops: int
     metrics: list = field(default_factory=list)
     fetch_cache: Optional[DataFrame] = None  # final S5 cache state (if enabled)
+    # resolved in-loop dedup index (phash, gid, gsz, has_edge, comp) when
+    # the engine ran with a payload table — see CrawlEngine(payloads=...)
+    dedup_index: Optional[DataFrame] = None
 
 
 class CrawlEngine:
@@ -230,6 +200,11 @@ class CrawlEngine:
         state_maintenance: str = "rewrite",
         compact_rows: int = 500_000,
         compact_steps: int = 8,
+        payloads: Optional[DataFrame] = None,
+        dedup_radius: int = 6,
+        dedup_max_bucket: int = 4096,
+        dedup_compact_folds: int = 8,
+        dedup_fold_every: int = 4,
     ):
         self.spark = spark
         self.web = web
@@ -392,6 +367,52 @@ class CrawlEngine:
         # "auto" therefore enables it only for genuinely remote masters
         # (spark://, yarn, k8s), where a driver round-trip is a
         # network-latency job gap this sandbox cannot reproduce.
+        # In-loop incremental dedupe (the north rule's "fetch/dedupe
+        # metrics" made literal): when a payload table (input_hint shape:
+        # image_id, ..., phash) is supplied and the web fixture keys its
+        # pages to it via an `image_id` column, the loop folds each
+        # step's first-visit ok pops into a persisted LSMPhashIndex —
+        # O(step delta) per fold (operators/incremental.py), compaction
+        # on a fold cadence, index resumable from snapshots. The payload
+        # join is the deterministic stand-in for computing phash from
+        # the fetched bytes (multimodal.extract_features does exactly
+        # that in production — the bytes never need to enter this loop).
+        # The reference folds each new fingerprint into its BK-tree the
+        # same way, one at a time (bktree.go:21-62); here it's batched.
+        # Contract: image_id is the payload identity of the fetched page
+        # (unique per url) and castable to long — at production scale
+        # that is the URL's 64-bit hash (U3, functions/hashing.py).
+        self.payloads = payloads
+        self.dedup_radius = dedup_radius
+        self.dedup_max_bucket = dedup_max_bucket
+        self.dedup_compact_folds = max(1, dedup_compact_folds)
+        self._dedup = None
+        self._dedup_folds = 0
+        self.n_dedup_compactions = 0
+        # fold cadence: per-step image deltas are tiny checkpointed
+        # frames; the index fold (a ~10-job pipeline whose cost is
+        # dominated by fixed stage latency at batch sizes below ~10^6)
+        # amortizes over `dedup_fold_every` steps — the same cadence
+        # discipline as LSM compaction and the bloom rebuild. Exactly-
+        # once across the cadence is structural: a url first-visits
+        # once, and image_id is unique per url (the payload contract).
+        self.dedup_fold_every = max(1, dedup_fold_every)
+        self._dedup_pending: list = []
+        self._dedup_pending_rows = 0
+        if payloads is not None:
+            if "image_id" not in web.columns:
+                raise ValueError(
+                    "payloads given but the web table has no image_id column"
+                )
+            from crawler_spark.operators.incremental import LSMPhashIndex
+
+            empty = spark.createDataFrame(
+                [], "phash long, gid long, gsz long, has_edge boolean, comp long"
+            )
+            self._dedup = LSMPhashIndex(
+                empty, radius=dedup_radius, max_bucket=dedup_max_bucket
+            )
+            self._payload_phash = payloads.select("image_id", "phash")
         if deferred_emin == "auto":
             master = spark.sparkContext.master
             # "local" (bare), "local[N]", and "local-cluster[...]" all run
@@ -775,6 +796,14 @@ class CrawlEngine:
         else:
             src_links = F.col("out_links").alias("w_links")
             tgt_links = F.col("out_links").alias("t_links")
+        if self._dedup is not None:
+            # payload identity rides the fetch (S6/dedupe: the page's
+            # image keys into the payload table at fold time). Source
+            # side only: a redirect pop re-serves the TARGET's payload,
+            # which folds exactly once when the target itself is popped
+            # (follow_redirects injects it as a link) — folding it under
+            # the redirecting url too would double-count the image.
+            extra_src = extra_src + [F.col("image_id").alias("w_img")]
         src = web.select(
             "url",
             F.col("status").alias("w_status"),
@@ -944,6 +973,16 @@ class CrawlEngine:
                 F.col("_mcfg.follow_depth").alias("mux_follow_depth"),
                 F.col("_mcfg.nofollow").alias("mux_nofollow"),
             ]
+        img_cols = []
+        if self._dedup is not None:
+            # payload identity of CANONICALLY fetched pages only — a
+            # redirect pop serves the target's payload, which folds when
+            # the target itself is popped (see _web_cols)
+            img_cols = [
+                F.when(F.col("redirect_to").isNull(), F.col("w_img")).alias(
+                    "image_id"
+                )
+            ]
         return f.select(
             "url", "host_key", "depth", "score", "prio", "seq", "emit_ms",
             "cancelled",
@@ -952,6 +991,7 @@ class CrawlEngine:
             base_url.alias("base_url"), links_arr.alias("links_arr"),
             *cache_cols,
             *mux_cols,
+            *img_cols,
         )
 
     def _extract_links(self, fetched: DataFrame, seen: DataFrame):
@@ -1197,6 +1237,69 @@ class CrawlEngine:
         )
 
     # ------------------------------------------------------------------ #
+    def _dedup_step(self, dedup_batch: DataFrame, n_img: int) -> dict:
+        """Stage one step's new payload ids (a tiny checkpointed frame —
+        `fetched` is released before the cadence fold runs) and fold the
+        accumulated delta into the index every `dedup_fold_every` steps.
+        Returns the step's dedupe metrics (C8)."""
+        stats = {"img_new": n_img}
+        if n_img:
+            self._dedup_pending.append(_checkpoint(dedup_batch))
+            self._dedup_pending_rows += n_img
+        if (
+            self._dedup_pending
+            and (len(self._dedup_pending) >= self.dedup_fold_every)
+        ):
+            stats.update(self._dedup_flush())
+        return stats
+
+    def _dedup_flush(self) -> dict:
+        """Fold every pending step delta into the incremental dedup index
+        (operators/incremental.LSMPhashIndex): delta-broadcast pigeonhole
+        probe + contracted-supernode clustering + ONE changed-rows frame —
+        O(delta), never O(corpus). Compaction every `dedup_compact_folds`
+        folds bounds the frame stack."""
+        if not self._dedup_pending:
+            return {}
+        ids = self._dedup_pending[0]
+        for fr in self._dedup_pending[1:]:
+            ids = ids.unionByName(fr)
+        # fixture stand-in for computing phash from the fetched bytes
+        # (production: multimodal.extract_features over the response
+        # payload — same (image_id, phash) rows, no corpus-side join).
+        # Member ids are xxhash64(image_id) — U3's 64-bit identity
+        # applied to the payload key, so any id format folds and the
+        # index's gid/comp labels are deterministic (collisions 2^-64).
+        delta = ids.join(self._payload_phash, "image_id").select(
+            dedup_member_id(F.col("image_id")).alias("image_id"), "phash"
+        )
+        self._dedup = self._dedup.update(delta)
+        self._dedup_folds += 1
+        frame_rows = self._dedup.frames[-1].count()
+        for fr in self._dedup_pending:
+            _release_checkpoint(fr)
+        folded = self._dedup_pending_rows
+        self._dedup_pending, self._dedup_pending_rows = [], 0
+        if self._dedup_folds % self.dedup_compact_folds == 0:
+            self._dedup_compact()
+        return {
+            "dedup_folded": folded,
+            "dedup_frame_rows": frame_rows,
+            "dedup_frames": len(self._dedup.frames),
+        }
+
+    def _dedup_compact(self) -> None:
+        """Fold the index frames into a fresh base; release every
+        superseded checkpoint generation after the new base materializes
+        (the _release_checkpoint discipline all loops here follow)."""
+        if not self._dedup.frames:
+            return
+        gens = [self._dedup.base] + list(self._dedup.frames)
+        self._dedup = self._dedup.compact()
+        for g in gens:
+            _release_checkpoint(g)
+        self.n_dedup_compactions += 1
+
     def run(self, seeds: list[str]) -> CrawlResult:
         frontier, seen, host_state, cache, seq_base, n_invalid_seeds = self._init_state(seeds)
         return self._loop(frontier, seen, host_state, cache, seq_base, step0=0, pops0=0)
@@ -1218,6 +1321,20 @@ class CrawlEngine:
                 frames["fetch_cache"]
                 if "fetch_cache" in frames
                 else self.spark.createDataFrame([], ENGINE_CACHE_SCHEMA)
+            )
+        if self._dedup is not None:
+            if "dedup_index" not in frames:
+                raise RuntimeError(
+                    "dedupe enabled but the snapshot carries no dedup_index "
+                    "frame — it was written by an engine without payloads; "
+                    "resuming would silently drop pre-snapshot images"
+                )
+            from crawler_spark.operators.incremental import LSMPhashIndex
+
+            self._dedup = LSMPhashIndex(
+                _checkpoint(frames["dedup_index"]),
+                radius=self.dedup_radius,
+                max_bucket=self.dedup_max_bucket,
             )
         return self._loop(
             _checkpoint(frames["frontier"]),
@@ -1344,6 +1461,25 @@ class CrawlEngine:
             if lk is not None:
                 probe = probe.unionAll(
                     lk.select(F.lit("l").alias("t"), F.col("valid").cast("string").alias("k"))
+                )
+            dedup_batch = None
+            if self._dedup is not None:
+                # exactly-once fold set: first-visit ok pops carrying a
+                # payload (revisits/cache-hits re-serve an already-folded
+                # image; errors and Prepare-cancels never fetched one)
+                dedup_batch = (
+                    fetched.where(
+                        (F.col("outcome") == "ok")
+                        & F.col("image_id").isNotNull()
+                        & (F.coalesce(F.col("old_num_visit"), F.lit(0)) == 0)
+                    )
+                    .select("image_id")
+                    .distinct()
+                )
+                probe = probe.unionAll(
+                    dedup_batch.select(
+                        F.lit("d").alias("t"), F.lit(None).cast("string").alias("k")
+                    )
                 )
             c_fut = self._pool.submit(
                 probe.groupBy("t", "k").agg(F.count("*").alias("n")).collect
@@ -1507,6 +1643,10 @@ class CrawlEngine:
             pops += n_sel
             seq_base += n_items
             self._last_n_items = n_items
+            n_img = sum(r["n"] for r in cnt_rows if r["t"] == "d")
+            dedup_stats = {}
+            if dedup_batch is not None:
+                dedup_stats = self._dedup_step(dedup_batch, n_img)
 
             # free the previous generation's checkpoint blocks + step
             # frames (fetched stays alive in the emit buffer until flush).
@@ -1548,7 +1688,7 @@ class CrawlEngine:
             self.metrics.append(
                 dict(step=step, e_min=sel.e_min, selected=n_sel, new_items=n_items,
                      hosts=sel.n_hosts, seq_mode=self._last_seq_mode,
-                     **counts, **link_stats)
+                     **counts, **link_stats, **dedup_stats)
             )
             if self.snapshot_every and step % self.snapshot_every == 0:
                 # flush first: a snapshot must only become visible with
@@ -1567,6 +1707,13 @@ class CrawlEngine:
                     frames = {"frontier": frontier, "seen": seen, "host_state": host_state}
                 if fetch_cache is not None:
                     frames["fetch_cache"] = fetch_cache
+                if self._dedup is not None:
+                    # flush staged deltas + compact so the snapshot
+                    # stores ONE materialized index frame (resume
+                    # restarts frame-free, same as the LSM bases above)
+                    self._dedup_flush()
+                    self._dedup_compact()
+                    frames["dedup_index"] = self._dedup.base
                 self.store.commit(
                     step,
                     {"seq_base": seq_base, "pops": pops, "metrics": self.metrics},
@@ -1585,8 +1732,13 @@ class CrawlEngine:
             if os.path.exists(emitted_root)
             else self.spark.createDataFrame([], "step int, emit_ms long, prio int, seq long, url string, host_key string, depth int, score int, status int, outcome string, cache_route string")
         )
+        if self._dedup is not None:
+            self._dedup_flush()  # fold any staged tail deltas
         emitted = with_emit_order(emitted.where(F.col("step") <= step))
         return CrawlResult(
             emitted=emitted, seen=seen, steps=step, pops=pops,
             metrics=self.metrics, fetch_cache=fetch_cache,
+            dedup_index=(
+                self._dedup.resolved() if self._dedup is not None else None
+            ),
         )

@@ -41,6 +41,12 @@ def get_spark(
         # nodes by step ~10, OOM + 10x step slowdown — measured); the
         # loop's filters are all explicit, so inference buys nothing.
         .config("spark.sql.constraintPropagation.enabled", "false")
+        # The listener-bus plan strings (SparkListenerSQLExecutionStart)
+        # are rendered even with the UI off; composite iterative plans
+        # (the in-loop dedup fold references its layered view ~6 times)
+        # can render to GBs and OOM the driver — cap them. 8 MB keeps
+        # real explain() output useful.
+        .config("spark.sql.maxPlanStringLength", str(8 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

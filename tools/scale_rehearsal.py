@@ -36,6 +36,24 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 
+def build_payloads(spark, n_urls: int):
+    """Planted image payloads (input_hint shape, metadata elided): page i
+    carries image i; triples share an xxhash64-derived phash with 1-2
+    flipped bits (the incremental_rehearsal structure — at radius 2 and
+    10^7 uniform hashes, cross-triple collisions are ~1e-3, so cluster
+    separation is exact)."""
+    g = (F.col("id") / 3).cast("long").cast("string")
+    h = F.xxhash64(F.concat(F.lit("ph"), g))
+    m = F.col("id") % 3
+    return spark.range(n_urls).select(
+        F.col("id").cast("string").alias("image_id"),
+        F.when(m == 1, h.bitwiseXOR(F.lit(6)))
+        .when(m == 2, h.bitwiseXOR(F.lit(1)))
+        .otherwise(h)
+        .alias("phash"),
+    )
+
+
 def build_web(spark, n_urls: int, n_hosts: int, fanout: int):
     """Arithmetic web: page id -> host id%H; out-link j of page i is
     page (i*M_j + C_j) % N. Pure column expressions — no joins, no UDFs;
@@ -64,6 +82,7 @@ def build_web(spark, n_urls: int, n_hosts: int, fanout: int):
             *[url_of((F.col("id") * m + c) % n_urls) for m, c in zip(mults, offs)]
         ).alias("out_links"),
         F.lit(None).cast("string").alias("redirect_to"),
+        F.col("id").cast("string").alias("image_id"),
     )
     return web
 
@@ -85,6 +104,13 @@ def main() -> None:
     )
     ap.add_argument("--compact-rows", type=int, default=20_000_000)
     ap.add_argument("--compact-steps", type=int, default=8)
+    ap.add_argument(
+        "--dedup", action="store_true",
+        help="in-loop incremental dedupe: fold each step's fetched "
+        "payloads into the LSM phash index (CrawlEngine(payloads=...)); "
+        "end state verified row-exact vs a one-shot rebuild",
+    )
+    ap.add_argument("--dedup-fold-every", type=int, default=2)
     args = ap.parse_args()
     if args.smoke:
         args.urls, args.hosts, args.seeds = 200_000, 2_000, 2_000
@@ -122,6 +148,17 @@ def main() -> None:
         bloom_shards=16,
         bloom_bits_per_shard=1 << 25,
     )
+    dedup_kwargs = {}
+    payloads = None
+    if args.dedup:
+        payloads = build_payloads(spark, args.urls).persist()
+        payloads.count()
+        dedup_kwargs = dict(
+            payloads=payloads,
+            dedup_radius=2,
+            dedup_fold_every=args.dedup_fold_every,
+            dedup_compact_folds=8,
+        )
     eng = CrawlEngine(
         spark,
         web,
@@ -133,6 +170,7 @@ def main() -> None:
         state_maintenance="lsm" if args.lsm else "rewrite",
         compact_rows=args.compact_rows,
         compact_steps=args.compact_steps,
+        **dedup_kwargs,
     )
     t0 = time.time()
     res = eng.run(seeds)
@@ -170,16 +208,65 @@ def main() -> None:
         "compactions": eng.n_compactions,
         "cpus": args.cpus,
     }
+    if args.dedup:
+        # exactness: the in-loop index must be ROW-IDENTICAL to a
+        # one-shot build over the payloads of every popped page (all
+        # pops here are first-visit ok with no redirects) — step
+        # batching, the fold cadence, and LSM framing must be invisible.
+        # The rebuild wall is ALSO the number the fold replaces.
+        from crawler_spark.operators.incremental import phash_index_build
+        from crawler_spark.plans.crawl import dedup_member_id
+        from crawler_spark.state.ckpt import release_checkpoint
+
+        idx = res.dedup_index.persist()
+        n_idx = idx.count()
+        t1 = time.time()
+        popped_imgs = (
+            res.emitted.select(
+                F.regexp_extract("url", r"/p/(\d+)$", 1).alias("image_id")
+            )
+            .join(payloads, "image_id")
+            .select(dedup_member_id(F.col("image_id")).alias("image_id"), "phash")
+        )
+        ref = phash_index_build(popped_imgs, radius=2)
+        wall_rebuild = round(time.time() - t1, 2)
+        n_ref = ref.count()
+        checksum = [
+            df.agg(
+                F.expr(
+                    "bit_xor(xxhash64(concat_ws('|', phash, gid, gsz, "
+                    "cast(has_edge as string), comp)))"
+                )
+            ).first()[0]
+            for df in (idx, ref)
+        ]
+        dedup_exact = n_idx == n_ref and checksum[0] == checksum[1]
+        release_checkpoint(ref)
+        folds = [m for m in res.metrics if m.get("dedup_folded")]
+        out.update(
+            dedup_exact=bool(dedup_exact),
+            dedup_index_hashes=n_idx,
+            dedup_folds=eng._dedup_folds,
+            dedup_compactions=eng.n_dedup_compactions,
+            dedup_folded_by_fold=[m["dedup_folded"] for m in folds],
+            dedup_frame_rows_by_fold=[m["dedup_frame_rows"] for m in folds],
+            dedup_rebuild_wall_sec=wall_rebuild,
+        )
     print(json.dumps(out))
     if not args.smoke:
         ok = (
             out["offset_engaged"]
             and out["bloom_rebuilds"] >= 1
             and peak >= 10_000_000
+            and (not args.dedup or out["dedup_exact"])
         )
         print(f"REHEARSAL {'PASS' if ok else 'FAIL'}: offset={out['offset_engaged']} "
-              f"rebuilds={out['bloom_rebuilds']} peak_frontier={peak}", file=sys.stderr)
+              f"rebuilds={out['bloom_rebuilds']} peak_frontier={peak} "
+              f"dedup_exact={out.get('dedup_exact', 'n/a')}", file=sys.stderr)
         sys.exit(0 if ok else 1)
+    elif args.dedup and not out["dedup_exact"]:
+        print("SMOKE FAIL: dedup_exact=False", file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -90,6 +90,11 @@ def main() -> None:
         # base); the operating point that matters is the 10^7-hash
         # rehearsal in BENCH.md (fold wall flat across 10x delta sizes).
         "incremental_dedup",
+        # r4 session 3: the crawl loop MAINTAINING the dedup index
+        # in-loop (CrawlEngine(payloads=...)) — wall ≈ crawl_bfs plus
+        # per-cadence fold pipelines; the at-scale fold economics are
+        # the scale_rehearsal --dedup numbers in BENCH.md
+        "crawl_live_dedup",
     ]
     # The minhash/simhash driver entries (and the composed text-corpus
     # face built on minhash) use the md5 hash family so the DuckDB

@@ -42,17 +42,47 @@ def main() -> None:
                      F.lit(".test/p"), ((F.col("id") * 3 + 2) % n).cast("string")),
         ).alias("out_links"),
         F.lit(None).cast("string").alias("redirect_to"),
+        F.col("id").cast("string").alias("image_id"),
+    )
+    # in-loop dedupe rides the smoke too: planted triple phashes, the
+    # live index must be row-exact vs a one-shot rebuild — validated
+    # across REAL executor JVMs when run under local-cluster[...]
+    g = (F.col("id") / 3).cast("long").cast("string")
+    h = F.xxhash64(F.concat(F.lit("ph"), g))
+    m = F.col("id") % 3
+    payloads = spark.range(n).select(
+        F.col("id").cast("string").alias("image_id"),
+        F.when(m == 1, h.bitwiseXOR(F.lit(6)))
+        .when(m == 2, h.bitwiseXOR(F.lit(1)))
+        .otherwise(h)
+        .alias("phash"),
     )
     eng = CrawlEngine(
         spark, web, policy=CrawlPolicy(max_retry=1, obey_robots=False),
         workdir=workdir, max_pops=120, metrics_level=0,
+        payloads=payloads, dedup_radius=2, dedup_fold_every=2,
     )
     res = eng.run(["http://h0.test/p0", "http://h1.test/p1"])
+    from crawler_spark.operators.incremental import phash_index_build
+    from crawler_spark.plans.crawl import dedup_member_id
+
+    popped_imgs = (
+        res.emitted.select(
+            F.regexp_extract("url", r"/p(\d+)$", 1).alias("image_id")
+        )
+        .join(payloads, "image_id")
+        .select(dedup_member_id(F.col("image_id")).alias("image_id"), "phash")
+    )
+    ref = phash_index_build(popped_imgs, radius=2)
+    idx_rows = sorted(map(tuple, res.dedup_index.collect()))
+    ref_rows = sorted(map(tuple, ref.collect()))
     out = dict(
         pops=res.pops,
         steps=res.steps,
         emitted=res.emitted.count(),
         seen=res.seen.count(),
+        dedup_hashes=len(idx_rows),
+        dedup_exact=idx_rows == ref_rows,
         executors=spark.sparkContext.getConf().get("spark.master"),
     )
     print("SUBMIT_SMOKE_RESULT " + json.dumps(out))

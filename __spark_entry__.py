@@ -954,6 +954,8 @@ def q_crawl_live_dedup(spark, sf_dir):
         workdir=tempfile.mkdtemp(prefix="crawl_dedup_entry_"),
         max_pops=60,
         payloads=payloads, dedup_radius=6, dedup_compact_folds=4,
+        dedup_fold_every=6,  # end state is cadence-invariant (tested);
+        # fewer folds keep the entry's wall down at sandbox scale
     )
     res = eng.run(seeds)
     crawled = (

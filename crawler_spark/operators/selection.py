@@ -59,6 +59,86 @@ from pyspark.sql import functions as F
 INF = 1 << 62
 
 
+def _host_join_cols(host_state: DataFrame) -> DataFrame:
+    return host_state.select(
+        "host_key",
+        F.col("last_ms").alias("_last_ms"),
+        F.col("interval_ms").alias("_interval_ms"),
+    )
+
+
+def phase1_heads(
+    frontier: DataFrame,
+    host_state: DataFrame,
+    *,
+    default_interval_ms: int = 0,
+) -> DataFrame:
+    """Phase-1 per-host timing heads via partial aggregation (no global
+    sort): the min due_ms gives the host's earliest possible pop;
+    ``emit = max(ready, min_due)``. ``n_rows`` rides along so the driver
+    can skip per-host-cap enforcement on steps where no host can exceed
+    the cap (the common case).
+
+    ``_host_pmin`` rides along too: every candidate row (due ≤ e_min AND
+    ready_host ≤ e_min) provably lives on a host with emit == e_min
+    (min_due ≤ due ≤ e_min and ready ≤ e_min force max(ready, min_due)
+    ≤ e_min, and emit ≥ e_min by minimality), and on such a host the
+    candidate cutoff IS emit(h): if ready ≤ min_due the candidates are
+    exactly the min-due rows (their min prio = prio field of the
+    (due, prio)-lexicographic minimum), else the rows with due ≤ ready
+    (a plain conditional min — ready is a per-row constant after the
+    broadcast join). So min-over-candidates(prio) folds into this same
+    aggregation and the separate p_min scan of the frontier disappears
+    (3 scans/step → 2).
+
+    Factored out of `select_batch` so the crawl driver can overlap the
+    phase-1 job with the previous step's state-checkpoint wall (the
+    aggregate depends only on the new frontier + host_state)."""
+    hs = _host_join_cols(host_state)
+    due = F.greatest("next_ms", "avail_ms")
+    enriched = (
+        frontier.join(F.broadcast(hs), "host_key", "left")
+        .withColumn("_iv", F.coalesce(F.col("_interval_ms"), F.lit(default_interval_ms)).cast("long"))
+        .withColumn("_ready", F.coalesce(F.col("_last_ms") + F.col("_iv"), F.lit(0).cast("long")))
+    )
+    return (
+        enriched.groupBy("host_key")
+        .agg(
+            F.min(due).alias("min_due"),
+            F.count("*").alias("n_rows"),
+            F.first("_ready").alias("ready_ms"),
+            F.first("_iv").alias("_iv"),
+            F.min(F.when(due <= F.col("_ready"), F.col("prio"))).alias("_p_le_ready"),
+            F.min(F.struct(due.alias("d"), F.col("prio").alias("p"))).alias("_dp"),
+        )
+        .withColumn("emit_ms", F.greatest("ready_ms", "min_due"))
+        .withColumn(
+            "_host_pmin",
+            F.when(F.col("ready_ms") <= F.col("min_due"), F.col("_dp")["p"]).otherwise(
+                F.col("_p_le_ready")
+            ),
+        )
+        .select("host_key", "ready_ms", "emit_ms", "_iv", "n_rows", "_host_pmin")
+    )
+
+
+def phase1_agg(heads: DataFrame) -> DataFrame:
+    """The scalar phase-1 reduction over the per-host heads: the virtual
+    clock e_min, host/row counts for cap short-circuits, the interval
+    range for the homogeneous-interval shortcut, and the lexicographic
+    (e_min, p_min) pair. One row; `select_batch` accepts it precomputed
+    (``precomputed_agg``) so the driver can run it ahead of time."""
+    return heads.agg(
+        F.min("emit_ms").alias("e_min"),
+        F.count("*").alias("n"),
+        F.max("n_rows").alias("max_n"),
+        F.min("_iv").alias("min_iv"),
+        F.max("_iv").alias("max_iv"),
+        # lexicographic min: (e_min, min host-pmin among emit==e_min hosts)
+        F.min(F.struct(F.col("emit_ms").alias("e"), F.col("_host_pmin").alias("p"))).alias("_ep"),
+    )
+
+
 @dataclass
 class Selection:
     selected: Optional[DataFrame]  # frontier rows + emit_ms (fast mode adds rn)
@@ -79,6 +159,7 @@ def select_batch(
     mode: str = "exact",
     per_host_cap: int = 4096,
     deferred: bool = False,
+    precomputed_agg=None,
 ) -> Selection:
     """One politeness-selection step.
 
@@ -95,53 +176,19 @@ def select_batch(
     grows two broadcast-agg stages and ends up SLOWER than the .first()
     round-trip; intended for high-latency clusters where a driver
     round-trip costs a full job.
-    """
-    hs = host_state.select(
-        "host_key",
-        F.col("last_ms").alias("_last_ms"),
-        F.col("interval_ms").alias("_interval_ms"),
-    )
-    due = F.greatest("next_ms", "avail_ms")
 
-    # Per-host timing head via partial aggregation (no global sort): the
-    # min due_ms gives the host's earliest possible pop; emit = max(ready, ·).
-    # n_rows rides along so the driver can skip per-host-cap enforcement
-    # on steps where no host can exceed the cap (the common case).
-    #
-    # p_min rides along too: every candidate row (due ≤ e_min AND
-    # ready_host ≤ e_min) provably lives on a host with emit == e_min
-    # (min_due ≤ due ≤ e_min and ready ≤ e_min force max(ready, min_due)
-    # ≤ e_min, and emit ≥ e_min by minimality), and on such a host the
-    # candidate cutoff IS emit(h): if ready ≤ min_due the candidates are
-    # exactly the min-due rows (their min prio = prio field of the
-    # (due, prio)-lexicographic minimum), else the rows with due ≤ ready
-    # (a plain conditional min — ready is a per-row constant after the
-    # broadcast join). So min-over-candidates(prio) folds into this same
-    # aggregation and the separate p_min scan of the frontier disappears
-    # (3 scans/step → 2).
-    enriched = (
-        frontier.join(F.broadcast(hs), "host_key", "left")
-        .withColumn("_iv", F.coalesce(F.col("_interval_ms"), F.lit(default_interval_ms)).cast("long"))
-        .withColumn("_ready", F.coalesce(F.col("_last_ms") + F.col("_iv"), F.lit(0).cast("long")))
-    )
-    heads = (
-        enriched.groupBy("host_key")
-        .agg(
-            F.min(due).alias("min_due"),
-            F.count("*").alias("n_rows"),
-            F.first("_ready").alias("ready_ms"),
-            F.first("_iv").alias("_iv"),
-            F.min(F.when(due <= F.col("_ready"), F.col("prio"))).alias("_p_le_ready"),
-            F.min(F.struct(due.alias("d"), F.col("prio").alias("p"))).alias("_dp"),
-        )
-        .withColumn("emit_ms", F.greatest("ready_ms", "min_due"))
-        .withColumn(
-            "_host_pmin",
-            F.when(F.col("ready_ms") <= F.col("min_due"), F.col("_dp")["p"]).otherwise(
-                F.col("_p_le_ready")
-            ),
-        )
-        .select("host_key", "ready_ms", "emit_ms", "_iv", "n_rows", "_host_pmin")
+    ``precomputed_agg`` (non-deferred modes): the `phase1_agg(...)` Row,
+    computed by the caller ahead of time over content-identical
+    frontier/host_state — the crawl driver overlaps that job with the
+    previous step's state-checkpoint wall, removing the synchronous
+    driver round-trip this call otherwise opens with. Scalars are
+    bit-identical by construction (same plan, same content), pinned by
+    the pipelined-vs-sync E2E equality test.
+    """
+    hs = _host_join_cols(host_state)
+    due = F.greatest("next_ms", "avail_ms")
+    heads = phase1_heads(
+        frontier, host_state, default_interval_ms=default_interval_ms
     )
     if deferred or mode == "fast":
         # these paths re-read heads (deferred plan / fast-mode e_next)
@@ -176,15 +223,12 @@ def select_batch(
         )
         return Selection(selected=sel, e_min=None, n_hosts=0, _heads=heads)
 
-    agg = heads.agg(
-        F.min("emit_ms").alias("e_min"),
-        F.count("*").alias("n"),
-        F.max("n_rows").alias("max_n"),
-        F.min("_iv").alias("min_iv"),
-        F.max("_iv").alias("max_iv"),
-        # lexicographic min: (e_min, min host-pmin among emit==e_min hosts)
-        F.min(F.struct(F.col("emit_ms").alias("e"), F.col("_host_pmin").alias("p"))).alias("_ep"),
-    ).first()
+    # ``precomputed_agg`` (exact/serial modes): the phase-1 scalar row,
+    # computed by the caller over content-identical frontier/host_state
+    # (the crawl driver overlaps that job with the previous step's
+    # state-checkpoint wall) — skips the one synchronous driver
+    # round-trip this call would otherwise pay.
+    agg = precomputed_agg if precomputed_agg is not None else phase1_agg(heads).first()
     e_min, n_hosts, max_host_rows = agg["e_min"], agg["n"], agg["max_n"]
     min_iv, max_iv = agg["min_iv"], agg["max_iv"]
     p_min = agg["_ep"]["p"] if agg["_ep"] is not None else None

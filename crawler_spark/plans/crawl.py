@@ -54,7 +54,12 @@ from pyspark.sql.types import (
 from crawler_spark.config import CrawlPolicy
 from crawler_spark.functions.urlnorm import canonicalize_udf, resolve_links_udf
 from crawler_spark.operators.ordering import dense_ordinal, prio_col, with_emit_order
-from crawler_spark.operators.selection import admit_hosts, select_batch
+from crawler_spark.operators.selection import (
+    admit_hosts,
+    phase1_agg,
+    phase1_heads,
+    select_batch,
+)
 from crawler_spark.state.ckpt import checkpoint_cut_stats, release_checkpoint
 from crawler_spark.state.snapshot import SnapshotStore
 
@@ -205,6 +210,7 @@ class CrawlEngine:
         dedup_max_bucket: int = 4096,
         dedup_compact_folds: int = 8,
         dedup_fold_every: int = 4,
+        pipeline_phase1: bool = True,
     ):
         self.spark = spark
         self.web = web
@@ -281,8 +287,20 @@ class CrawlEngine:
 
         # concurrent job submission for the independent per-step actions
         # (metrics probe + up to 5 state checkpoints with cache on + LSM
-        # consumed-frame)
-        self._pool = ThreadPoolExecutor(max_workers=6)
+        # consumed-frame + the next step's phase-1 precompute — the
+        # precompute is submitted LAST and blocks on the others' futures,
+        # so one spare worker keeps it deadlock-free)
+        self._pool = ThreadPoolExecutor(max_workers=8)
+        # Pipelined phase-1 selection (exact modes): the NEXT step's
+        # per-host-heads aggregate depends only on the new frontier +
+        # host_state being checkpointed anyway, so its one driver
+        # round-trip job rides the state-checkpoint wall instead of
+        # opening the next step (4 sequential job walls/step → 3).
+        # Same jobs, strictly more overlap, bit-identical scalars —
+        # disabled when a runtime-enqueue dir can mutate the frontier
+        # between steps (the merge invalidates the precomputed view).
+        self.pipeline_phase1 = pipeline_phase1
+        self._p1_fut = None  # None | Future | resolved Row
         # M5: sharded bloom prefilter in front of the exact seen anti-join
         # (never rejects alone — storage/boltstore's bloom-only Exist can
         # drop URLs; the north rule demands the exact set)
@@ -645,6 +663,68 @@ class CrawlEngine:
         ):
             self._bloom_rebuild(seen, seq_base)
 
+    # ---------------- pipelined phase-1 selection ---------------------- #
+    def _p1_settle(self) -> None:
+        """Resolve a pending phase-1 precompute IN PLACE (Future → Row).
+        Must run before any operation that releases checkpoint blocks
+        the precompute job may still be reading (LSM compaction folds
+        and frees the frontier frames; the agg row itself stays valid —
+        compaction never changes frontier CONTENT)."""
+        from concurrent.futures import Future
+
+        if isinstance(self._p1_fut, Future):
+            try:
+                self._p1_fut = self._p1_fut.result()
+            except Exception:
+                # fall back to the synchronous .first() in select_batch
+                self._p1_fut = None
+
+    def _p1_take(self):
+        """Consume the precomputed phase-1 row (or None)."""
+        self._p1_settle()
+        row, self._p1_fut = self._p1_fut, None
+        return row
+
+    def _phase1_precompute(
+        self, lsm, f_base, adds, conss, f_fut, cons_fut, h_fut, c_fut,
+        step_done, pops_done,
+    ):
+        """Pool task: the NEXT step's phase-1 aggregate, overlapped with
+        the current step's state-checkpoint wall. Rebuilds the exact
+        frontier view the next loop iteration will see from the frame
+        SNAPSHOTS passed in (the driver mutates its lists after this
+        task is submitted) + the in-flight checkpoint futures. Returns
+        the agg Row, or None when the loop is about to terminate (then
+        no frame may be touched — the terminal branch releases them)."""
+        cnt_rows = c_fut.result()
+        n_sel = sum(r["n"] for r in cnt_rows if r["t"] == "s")
+        if n_sel == 0:
+            return None  # terminal: loop breaks/errors before next select
+        if self.max_pops is not None and pops_done + n_sel >= self.max_pops:
+            return None  # loop exits at the top — skip the wasted job
+        if step_done >= self.max_steps:
+            return None
+        nf = f_fut.result()
+        nh = h_fut.result()
+        if lsm:
+            v = f_base
+            for fr in [*adds, nf]:
+                v = v.unionByName(fr)
+            cons_frames = [*conss, cons_fut.result()]
+            cons = cons_frames[0]
+            for c in cons_frames[1:]:
+                cons = cons.unionAll(c)
+            frontier = v.join(F.broadcast(cons), "seq", "left_anti")
+        else:
+            frontier = nf
+        p = self.policy
+        if p.max_hosts is not None:
+            frontier = admit_hosts(frontier, p.max_hosts)
+        heads = phase1_heads(
+            frontier, nh, default_interval_ms=p.default_interval_ms
+        )
+        return phase1_agg(heads).first()
+
     # ---------------- LSM state maintenance (state_maintenance="lsm") #
     def _frontier_view(self) -> DataFrame:
         """Pending frontier = (base ∪ add-frames) minus consumed seqs.
@@ -684,6 +764,10 @@ class CrawlEngine:
         the sequential form clears)."""
         if not (self._f_adds or self._f_cons or self._lsm_delta_rows):
             return  # nothing staged — the bases ARE the state
+        # a pipelined phase-1 job may still be reading the frames this
+        # compaction is about to release — wait for its (content-stable)
+        # scalar before freeing blocks
+        self._p1_settle()
         new_f = _checkpoint(self._frontier_view())
         new_s = _checkpoint(
             self._s_base.join(self._s_delta.select("url"), "url", "left_anti")
@@ -1378,6 +1462,7 @@ class CrawlEngine:
     ) -> CrawlResult:
         p = self.policy
         step, pops = step0, pops0
+        self._p1_fut = None  # no precompute carries across runs
         lsm = self.state_maintenance == "lsm"
         if lsm:
             # incoming frames become the immutable bases; per-step writes
@@ -1416,6 +1501,7 @@ class CrawlEngine:
                 mode=self.mode,
                 per_host_cap=p.per_host_batch_cap,
                 deferred=deferred,
+                precomputed_agg=self._p1_take(),
             )
             if sel.selected is None:
                 break  # frontier drained — IsFinished (store.go:145-149)
@@ -1612,6 +1698,21 @@ class CrawlEngine:
                     )
                 c_fut2 = self._pool.submit(_checkpoint, new_cache_plan)
 
+            if self.pipeline_phase1 and not deferred and not self.enqueue_dir:
+                # overlap the NEXT step's phase-1 selection aggregate with
+                # this wall: it needs only the frontier/host_state being
+                # checkpointed here. List snapshots, not self._f_adds —
+                # the driver appends to those after the futures resolve.
+                self._p1_fut = self._pool.submit(
+                    self._phase1_precompute,
+                    lsm,
+                    self._f_base if lsm else None,
+                    list(self._f_adds) if lsm else None,
+                    list(self._f_cons) if lsm else None,
+                    f_fut, cons_fut, h_fut, c_fut,
+                    step, pops,
+                )
+
             cnt_rows = c_fut.result()
             if lk is not None:
                 lk.unpersist()
@@ -1720,6 +1821,10 @@ class CrawlEngine:
                     frames,
                 )
 
+        # don't leave a pipelined phase-1 job in flight past the loop
+        # (rewrite mode has no compaction guard to settle it)
+        self._p1_settle()
+        self._p1_fut = None
         if lsm:
             # materialize the final state exactly once (no filter
             # rebuild — the run is over)

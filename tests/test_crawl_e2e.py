@@ -342,3 +342,36 @@ def test_checkpoint_fallback_engine_still_exact(spark, tmp_path, fx_small):
         assert_match(got, want)
     finally:
         crawl_mod._FORCE_CKPT_FALLBACK = False
+
+
+def test_pipelined_phase1_equals_sync(spark, tmp_path, fx_small):
+    """The pipelined phase-1 precompute (the NEXT step's selection
+    aggregate riding the state-checkpoint wall) must be invisible:
+    identical emitted log and seen set with the overlap on (default)
+    vs off (synchronous .first() every step), in BOTH state modes —
+    the LSM leg crosses a compaction so the _p1_settle guard (frames
+    released only after the in-flight phase-1 job resolves) is
+    exercised, not just reasoned about."""
+    policy = CrawlPolicy(max_depth=6, retry_delay_ms=60)
+    rows = {}
+    for tag, kw in {
+        "on": {},
+        "off": {"pipeline_phase1": False},
+        "lsm_on": {"state_maintenance": "lsm", "compact_steps": 2},
+        "lsm_off": {"state_maintenance": "lsm", "compact_steps": 2,
+                    "pipeline_phase1": False},
+    }.items():
+        eng = CrawlEngine(
+            spark, fx_small.web_df(spark),
+            host_policy=fx_small.host_policy_df(spark),
+            policy=policy, workdir=str(tmp_path / f"work_p1_{tag}"), **kw,
+        )
+        got = eng.run(fx_small.seeds)
+        rows[tag] = (
+            [tuple(r) for r in got.emitted.orderBy("emit_ord")
+             .select("emit_ord", "url", "emit_ms", "depth", "outcome").collect()],
+            {r["url"]: (r["depth"], r["done"], r["num_visit"]) for r in got.seen.collect()},
+        )
+    assert rows["on"] == rows["off"]
+    assert rows["lsm_on"] == rows["lsm_off"]
+    assert rows["on"] == rows["lsm_on"]

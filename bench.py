@@ -124,8 +124,15 @@ def main() -> None:
 
         from crawler_spark.plans.corpus import canonical_text_corpus
 
+        # production DEFAULT operating point (k=32, 8×4 bands ⇒ LSH
+        # threshold ≈0.6 — the same point the minhash bench measures).
+        # The ENTRY face overrides to k=16/rows=2 only to halve the
+        # md5-family signature width its DuckDB oracle must recompute;
+        # that ≈0.35-threshold regime is adversarially pair-dense on
+        # this high-template fixture (1.36M qualifying pairs from 5k
+        # docs) and is not what a user's dedup run looks like.
         d = spark_.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-        return canonical_text_corpus(d, "doc_id", "text", k=16, bands=8, rows=2).select(
+        return canonical_text_corpus(d, "doc_id", "text").select(
             "doc_id", FF.round("quality", 6).alias("quality")
         )
 

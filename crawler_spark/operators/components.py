@@ -170,6 +170,89 @@ def connected_components(
     )
 
 
+#: Edge-count gate for the driver union-find path: 100k edges ≈ 1.6 MB
+#: of longs — comfortably one driver batch, far below broadcast-join
+#: thresholds.
+SMALL_GRAPH_MAX_EDGES = 100_000
+
+
+def components_auto(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    *,
+    small_max: int = SMALL_GRAPH_MAX_EDGES,
+    max_iter: int = 50,
+    stats: dict | None = None,
+) -> DataFrame:
+    """`connected_components` with a size-gated small-graph strategy.
+
+    The distributed label-propagation loop costs O(log d) rounds of
+    multi-stage jobs — the right shape for corpus-scale graphs, but
+    pure fixed latency on the DELTA-scale contracted graphs the
+    incremental dedup index folds (a few thousand edges pay ~10 job
+    walls). When the (self-loop-free) edge set fits in one driver batch
+    (≤ ``small_max`` edges), run a driver-side union-find instead —
+    the same cost-model rule as broadcast-join selection: metadata-
+    bounded sides move to the cheapest executor, everything else stays
+    distributed. Identical output by construction (min-id union-find =
+    the loop's fixpoint); pinned by the forced-crossover equality test
+    in tests/test_incremental.py.
+
+    The gate itself is one ``take(small_max+1)`` job over the persisted
+    edge set: on small graphs it doubles as the collect; on big graphs
+    it computes only the first partitions, which the distributed path
+    then reuses from cache. ``stats`` gains {"driver_uf": True,
+    "rounds": 0} on the small path.
+    """
+    e = (
+        pairs.select(
+            F.col(src_col).cast("long").alias("u"),
+            F.col(dst_col).cast("long").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    rows = e.take(small_max + 1)
+    if len(rows) <= small_max:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for r in rows:
+            u, v = r["u"], r["v"]
+            if u not in parent:
+                parent[u] = u
+            if v not in parent:
+                parent[v] = v
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                # union by MIN id: the root is always the component min,
+                # so find() yields exactly the distributed fixpoint label
+                if ru < rv:
+                    parent[rv] = ru
+                else:
+                    parent[ru] = rv
+        out = [(x, find(x)) for x in parent]
+        if stats is not None:
+            stats["rounds"] = 0
+            stats["driver_uf"] = True
+        res = pairs.sparkSession.createDataFrame(
+            out, "id long, component long"
+        )
+        e.unpersist()
+        return res
+    res = connected_components(e, "u", "v", max_iter=max_iter, stats=stats)
+    e.unpersist()
+    return res
+
+
 def grouped_labels(
     gpairs: DataFrame, mem: DataFrame,
     src_col: str = "gid_a", dst_col: str = "gid_b",

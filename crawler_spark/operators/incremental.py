@@ -77,7 +77,10 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from crawler_spark.operators.components import connected_components
+from crawler_spark.operators.components import (
+    SMALL_GRAPH_MAX_EDGES,
+    components_auto,
+)
 from crawler_spark.state.ckpt import checkpoint_cut_stats
 from crawler_spark.operators.dedup import (
     _block_explode,
@@ -114,6 +117,7 @@ def phash_index_build(
     *,
     radius: int = 6,
     max_bucket: int = 4096,
+    small_cc_max: int = SMALL_GRAPH_MAX_EDGES,
 ) -> DataFrame:
     """Initial index over a base corpus (INDEX_COLS schema, checkpointed).
 
@@ -132,7 +136,7 @@ def phash_index_build(
     hg_a = grp.select(F.col("phash").alias("h_a"), F.col("gid").alias("ga"))
     hg_b = grp.select(F.col("phash").alias("h_b"), F.col("gid").alias("gb"))
     gedges = cand.join(hg_a, "h_a").join(hg_b, "h_b").select("ga", "gb")
-    comp = connected_components(gedges, "ga", "gb").select(
+    comp = components_auto(gedges, "ga", "gb", small_max=small_cc_max).select(
         F.col("id").alias("gid"), F.col("component").alias("cc")
     )
     index = (
@@ -160,6 +164,7 @@ def phash_index_update(
     *,
     radius: int = 6,
     max_bucket: int = 4096,
+    small_cc_max: int = SMALL_GRAPH_MAX_EDGES,
     stats: dict | None = None,
     plans: dict | None = None,
 ) -> DataFrame:
@@ -198,7 +203,8 @@ def phash_index_update(
     )
     dlab, new_pairs, d_edge, remap = _fold_core(
         dgrp, touched_lab, idx_hit,
-        radius=radius, max_bucket=max_bucket, stats=stats,
+        radius=radius, max_bucket=max_bucket, small_cc_max=small_cc_max,
+        stats=stats,
     )
 
     # -- step 5: upsert + map-side comp remap --
@@ -237,6 +243,7 @@ def _fold_core(
     *,
     radius: int,
     max_bucket: int,
+    small_cc_max: int = SMALL_GRAPH_MAX_EDGES,
     stats: dict | None,
 ):
     """Steps 3-4 of the fold, shared by the dense and LSM index faces:
@@ -302,7 +309,14 @@ def _fold_core(
     )
     cedges = pair_edges.unionByName(eq_edges)
     cc_stats: dict = {}
-    merged = connected_components(cedges, "la", "lb", stats=cc_stats)
+    # delta-scale contracted graph: the size gate routes it to the
+    # driver union-find when it fits one batch (the common long-crawl
+    # regime — a handful of new edges against a huge index), keeping
+    # the fold's fixed job count flat; corpus-scale merges still take
+    # the distributed loop
+    merged = components_auto(
+        cedges, "la", "lb", small_max=small_cc_max, stats=cc_stats
+    )
     # changed-labels-only remap, broadcast (delta-scale by construction)
     remap = (
         merged.where(F.col("id") != F.col("component"))
@@ -397,19 +411,24 @@ class LSMPhashIndex:
     """
 
     def __init__(self, base: DataFrame, frames=(), *, radius: int = 6,
-                 max_bucket: int = 4096):
+                 max_bucket: int = 4096,
+                 small_cc_max: int = SMALL_GRAPH_MAX_EDGES):
         self.base = base
         self.frames = list(frames)
         self.radius = radius
         self.max_bucket = max_bucket
+        self.small_cc_max = small_cc_max
 
     @classmethod
     def build(cls, images: DataFrame, id_col: str = "image_id",
               hash_col: str = "phash", *, radius: int = 6,
-              max_bucket: int = 4096) -> "LSMPhashIndex":
+              max_bucket: int = 4096,
+              small_cc_max: int = SMALL_GRAPH_MAX_EDGES) -> "LSMPhashIndex":
         base = phash_index_build(images, id_col, hash_col,
-                                 radius=radius, max_bucket=max_bucket)
-        return cls(base, radius=radius, max_bucket=max_bucket)
+                                 radius=radius, max_bucket=max_bucket,
+                                 small_cc_max=small_cc_max)
+        return cls(base, radius=radius, max_bucket=max_bucket,
+                   small_cc_max=small_cc_max)
 
     # -- layered access -------------------------------------------------
     def _layers(self):
@@ -460,7 +479,8 @@ class LSMPhashIndex:
 
         dlab, new_pairs, d_edge, remap = _fold_core(
             dgrp, touched_lab, idx_hit,
-            radius=self.radius, max_bucket=self.max_bucket, stats=stats,
+            radius=self.radius, max_bucket=self.max_bucket,
+            small_cc_max=self.small_cc_max, stats=stats,
         )
 
         # changed rows ONLY: delta-present hashes (gid/gsz), members of
@@ -489,7 +509,8 @@ class LSMPhashIndex:
         for cached in (remap, d_edge, dlab, new_pairs, touched_lab, dgrp):
             cached.unpersist()
         return LSMPhashIndex(self.base, self.frames + [frame],
-                             radius=self.radius, max_bucket=self.max_bucket)
+                             radius=self.radius, max_bucket=self.max_bucket,
+                             small_cc_max=self.small_cc_max)
 
     def resolved(self) -> DataFrame:
         """The dense index view: latest frame row per hash, base rows
@@ -509,7 +530,8 @@ class LSMPhashIndex:
         """Fold all frames into a new checkpointed base (cadence is the
         caller's; `_lsm_compact` in plans/crawl.py uses every-K-steps)."""
         return LSMPhashIndex(checkpoint_cut_stats(self.resolved()),
-                             radius=self.radius, max_bucket=self.max_bucket)
+                             radius=self.radius, max_bucket=self.max_bucket,
+                             small_cc_max=self.small_cc_max)
 
 
 def member_labels(

@@ -1322,14 +1322,17 @@ class CrawlEngine:
 
     # ------------------------------------------------------------------ #
     def _dedup_step(self, dedup_batch: DataFrame, n_img: int) -> dict:
-        """Stage one step's new payload ids (a tiny checkpointed frame —
-        `fetched` is released before the cadence fold runs) and fold the
-        accumulated delta into the index every `dedup_fold_every` steps.
-        Returns the step's dedupe metrics (C8)."""
+        """Stage one step's new payload ids (a tiny ALREADY-checkpointed
+        frame, materialized on the step's concurrent wall — `fetched` is
+        released before the cadence fold runs) and fold the accumulated
+        delta into the index every `dedup_fold_every` steps. Returns the
+        step's dedupe metrics (C8)."""
         stats = {"img_new": n_img}
         if n_img:
-            self._dedup_pending.append(_checkpoint(dedup_batch))
+            self._dedup_pending.append(dedup_batch)
             self._dedup_pending_rows += n_img
+        else:
+            _release_checkpoint(dedup_batch)  # empty frame — drop now
         if (
             self._dedup_pending
             and (len(self._dedup_pending) >= self.dedup_fold_every)
@@ -1663,6 +1666,14 @@ class CrawlEngine:
             f_fut = self._pool.submit(_checkpoint, new_frontier_plan)
             s_fut = self._pool.submit(_checkpoint, new_seen)
             h_fut = self._pool.submit(_checkpoint, new_host_state)
+            # the step's dedup id-frame (a tiny projection over the
+            # fetched checkpoint) rides the same wall instead of paying
+            # its own after the counts resolve
+            d_fut = (
+                self._pool.submit(_checkpoint, dedup_batch)
+                if dedup_batch is not None
+                else None
+            )
             cons_fut = (
                 self._pool.submit(_checkpoint, fetched.select("seq")) if lsm else None
             )
@@ -1736,8 +1747,11 @@ class CrawlEngine:
                 if deferred and frontier.isEmpty():
                     step -= 1  # empty tail step: frontier drained — IsFinished
                     self._emit_buf.pop()  # nothing was emitted this step
-                    for nf in (fetched, items, new_frontier, new_seen,
-                               new_host_state, new_cons, new_cache):
+                    rel_tail = [fetched, items, new_frontier, new_seen,
+                                new_host_state, new_cons, new_cache]
+                    if dedup_batch is not None:
+                        rel_tail.append(d_fut.result())
+                    for nf in rel_tail:
                         _release_checkpoint(nf)
                     break
                 raise RuntimeError(f"liveness violation: no pop at e_min={sel.e_min}")
@@ -1747,7 +1761,7 @@ class CrawlEngine:
             n_img = sum(r["n"] for r in cnt_rows if r["t"] == "d")
             dedup_stats = {}
             if dedup_batch is not None:
-                dedup_stats = self._dedup_step(dedup_batch, n_img)
+                dedup_stats = self._dedup_step(d_fut.result(), n_img)
 
             # free the previous generation's checkpoint blocks + step
             # frames (fetched stays alive in the emit buffer until flush).

@@ -311,3 +311,38 @@ def test_lsm_merge_across_frames(spark):
 
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-x", "-q"]))
+
+
+def test_small_cc_gate_crossover_identical(spark):
+    """The size-gated small-graph strategy (components_auto: driver
+    union-find under the edge gate, distributed label propagation over
+    it) must be invisible: build+fold with the gate forced OFF
+    (small_cc_max=0 → every graph takes the distributed loop) and with
+    it forced ON (huge gate → driver union-find everywhere) and compare
+    the resolved index row-for-row. Also pins components_auto directly
+    on a random pair graph across both routes."""
+    from crawler_spark.operators.components import (
+        components_auto,
+        connected_components,
+    )
+
+    rows = _random_rows(31)
+    base, delta = rows[: len(rows) // 2], rows[len(rows) // 2:]
+    out = {}
+    for tag, gate in {"dist": 0, "driver": 1 << 30}.items():
+        idx = phash_index_build(
+            _df(spark, base), radius=RADIUS, small_cc_max=gate
+        )
+        idx = phash_index_update(
+            idx, _df(spark, delta), radius=RADIUS, small_cc_max=gate
+        )
+        out[tag] = _index_rows(idx)
+    assert out["dist"] == out["driver"]
+
+    rng = random.Random(7)
+    pairs = [(rng.randrange(60), rng.randrange(60)) for _ in range(120)]
+    pdf = spark.createDataFrame(pairs, "id_a long, id_b long")
+    a = _label_rows(components_auto(pdf, small_max=0))
+    b = _label_rows(components_auto(pdf, small_max=10_000))
+    c = _label_rows(connected_components(pdf))
+    assert a == b == c

@@ -213,8 +213,8 @@ def components_auto(
         .where(F.col("u") != F.col("v"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    rows = e.take(small_max + 1)
-    if len(rows) <= small_max:
+    rows = e.take(small_max + 1) if small_max > 0 else None
+    if small_max > 0 and len(rows) <= small_max:
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:

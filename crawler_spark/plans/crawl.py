@@ -287,9 +287,12 @@ class CrawlEngine:
 
         # concurrent job submission for the independent per-step actions
         # (metrics probe + up to 5 state checkpoints with cache on + LSM
-        # consumed-frame + the next step's phase-1 precompute — the
-        # precompute is submitted LAST and blocks on the others' futures,
-        # so one spare worker keeps it deadlock-free)
+        # consumed-frame + dedup id-frame + the next step's phase-1
+        # precompute = up to 8 concurrent tasks). INVARIANT: any task
+        # that BLOCKS on sibling futures (today only the phase-1
+        # precompute) must be submitted LAST, after every future it
+        # awaits — FIFO then guarantees its dependencies hold workers,
+        # not queue slots, so the pool cannot deadlock even when full.
         self._pool = ThreadPoolExecutor(max_workers=8)
         # Pipelined phase-1 selection (exact modes): the NEXT step's
         # per-host-heads aggregate depends only on the new frontier +
@@ -301,6 +304,8 @@ class CrawlEngine:
         # between steps (the merge invalidates the precomputed view).
         self.pipeline_phase1 = pipeline_phase1
         self._p1_fut = None  # None | Future | resolved Row
+        self._p1_hits = 0  # steps that consumed a precomputed row
+        self._p1_failures = 0  # precompute tasks that raised (warned once)
         # M5: sharded bloom prefilter in front of the exact seen anti-join
         # (never rejects alone — storage/boltstore's bloom-only Exist can
         # drop URLs; the north rule demands the exact set)
@@ -669,20 +674,35 @@ class CrawlEngine:
         Must run before any operation that releases checkpoint blocks
         the precompute job may still be reading (LSM compaction folds
         and frees the frontier frames; the agg row itself stays valid —
-        compaction never changes frontier CONTENT)."""
+        compaction never changes frontier CONTENT).
+
+        A failed precompute falls back to the synchronous .first() in
+        select_batch — correct either way — but is NOT silent: the
+        first failure warns (a permanently broken precompute would
+        otherwise quietly re-pay the per-step driver round-trip), and
+        `self._p1_failures` counts them for tests/diagnosis."""
         from concurrent.futures import Future
 
         if isinstance(self._p1_fut, Future):
             try:
                 self._p1_fut = self._p1_fut.result()
-            except Exception:
-                # fall back to the synchronous .first() in select_batch
+            except Exception as exc:
+                self._p1_failures += 1
+                if self._p1_failures == 1:
+                    import warnings
+
+                    warnings.warn(
+                        "phase-1 precompute failed; falling back to the "
+                        f"synchronous selection aggregate: {exc!r}"
+                    )
                 self._p1_fut = None
 
     def _p1_take(self):
         """Consume the precomputed phase-1 row (or None)."""
         self._p1_settle()
         row, self._p1_fut = self._p1_fut, None
+        if row is not None:
+            self._p1_hits += 1
         return row
 
     def _phase1_precompute(
@@ -707,14 +727,10 @@ class CrawlEngine:
         nf = f_fut.result()
         nh = h_fut.result()
         if lsm:
-            v = f_base
-            for fr in [*adds, nf]:
-                v = v.unionByName(fr)
-            cons_frames = [*conss, cons_fut.result()]
-            cons = cons_frames[0]
-            for c in cons_frames[1:]:
-                cons = cons.unionAll(c)
-            frontier = v.join(F.broadcast(cons), "seq", "left_anti")
+            frontier = self._frontier_view(
+                base=f_base, adds=[*adds, nf],
+                conss=[*conss, cons_fut.result()],
+            )
         else:
             frontier = nf
         p = self.policy
@@ -726,18 +742,26 @@ class CrawlEngine:
         return phase1_agg(heads).first()
 
     # ---------------- LSM state maintenance (state_maintenance="lsm") #
-    def _frontier_view(self) -> DataFrame:
+    def _frontier_view(self, base=None, adds=None, conss=None) -> DataFrame:
         """Pending frontier = (base ∪ add-frames) minus consumed seqs.
         The consumed side is per-step frames of ONE long column, bounded
         by the compaction cadence — broadcast it so the anti-join never
         shuffles the base (selection scans the view twice per step; a
-        broadcast filter keeps both scans shuffle-free)."""
-        v = self._f_base
-        for fr in self._f_adds:
+        broadcast filter keeps both scans shuffle-free).
+
+        Defaults read the live engine state; the phase-1 precompute
+        passes explicit (base, adds, conss) snapshots so BOTH consumers
+        share this one composition (no drift between the precomputed
+        view and the one the next iteration selects from)."""
+        base = self._f_base if base is None else base
+        adds = self._f_adds if adds is None else adds
+        conss = self._f_cons if conss is None else conss
+        v = base
+        for fr in adds:
             v = v.unionByName(fr)
-        if self._f_cons:
-            cons = self._f_cons[0]
-            for c in self._f_cons[1:]:
+        if conss:
+            cons = conss[0]
+            for c in conss[1:]:
                 cons = cons.unionAll(c)
             v = v.join(F.broadcast(cons), "seq", "left_anti")
         return v

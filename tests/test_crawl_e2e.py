@@ -372,6 +372,13 @@ def test_pipelined_phase1_equals_sync(spark, tmp_path, fx_small):
              .select("emit_ord", "url", "emit_ms", "depth", "outcome").collect()],
             {r["url"]: (r["depth"], r["done"], r["num_visit"]) for r in got.seen.collect()},
         )
+        if tag in ("on", "lsm_on"):
+            # the overlap must actually ENGAGE (a broken precompute that
+            # always falls back would make this test pass vacuously)
+            assert eng._p1_hits > 0, f"{tag}: no step consumed a precomputed row"
+            assert eng._p1_failures == 0, f"{tag}: precompute raised"
+        else:
+            assert eng._p1_hits == 0
     assert rows["on"] == rows["off"]
     assert rows["lsm_on"] == rows["lsm_off"]
     assert rows["on"] == rows["lsm_on"]

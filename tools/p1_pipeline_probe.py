@@ -77,8 +77,13 @@ def main() -> None:
                 [sys.executable, os.path.abspath(__file__), "--leg", leg],
                 capture_output=True, text=True, env=env,
             )
-            line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1]
-            rec = json.loads(line)
+            lines = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
+            if r.returncode != 0 or not lines:
+                sys.stderr.write(r.stderr[-4000:])
+                raise RuntimeError(
+                    f"leg {leg!r} failed (rc={r.returncode}); stderr above"
+                )
+            rec = json.loads(lines[-1])
             out[leg].append(rec)
             print(f"rep{rep} {leg}: {rec}", flush=True)
     best_on = min(r["wall_s"] for r in out["on"])

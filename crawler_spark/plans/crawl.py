@@ -996,13 +996,15 @@ class CrawlEngine:
             # tokenize the fetched body against its FINAL url (after the
             # redirect hop — links resolve against the response URL,
             # handle.go:66-76); one Arrow batch per fetched frame
-            from crawler_spark.functions.extract import href_urls_udf
+            from crawler_spark.functions.extract import href_urls_auto
 
             eff_html = F.when(
                 F.col("redirect_to").isNotNull(), F.col("t_html")
             ).otherwise(F.col("w_html"))
+            # JVM regexp pre-scan handles hazard-free pages; only hazard
+            # pages pay the Python tokenizer (extract.href_urls_auto)
             eff_links = F.coalesce(
-                href_urls_udf()(base_url, eff_html), F.array().cast("array<string>")
+                href_urls_auto(base_url, eff_html), F.array().cast("array<string>")
             )
         else:
             eff_links = F.when(
@@ -1733,7 +1735,12 @@ class CrawlEngine:
                     )
                 c_fut2 = self._pool.submit(_checkpoint, new_cache_plan)
 
-            if self.pipeline_phase1 and not deferred and not self.enqueue_dir:
+            if (
+                self.pipeline_phase1
+                and not deferred
+                and not self.enqueue_dir
+                and self.mode != "fast"  # fast mode never reads precomputed_agg
+            ):
                 # overlap the NEXT step's phase-1 selection aggregate with
                 # this wall: it needs only the frontier/host_state being
                 # checkpointed here. List snapshots, not self._f_adds —

@@ -39,6 +39,7 @@ def canonical_image_corpus(
     *,
     radius: int = 6,
     quality_kwargs: dict | None = None,
+    pin_survivors: bool = False,
 ) -> DataFrame:
     """Canonical (kept) rows of an image+caption corpus.
 
@@ -128,12 +129,25 @@ def canonical_image_corpus(
         finally:
             tagged.unpersist()
     finally:
-        survivors.unpersist()
-    return kept.select(
+        if not pin_survivors:
+            # default: no storage outlives the call — the caller's final
+            # action recomputes the gate+argmax once against the pinned
+            # drop set.  ``pin_survivors=True`` keeps the ~50 B/row
+            # 6-column cache alive so that final action reuses it
+            # instead of re-scanning the full payload (bytes included) —
+            # one payload pass and one argmax shuffle fewer, the right
+            # trade for bandwidth-bound scaling runs; the caller owns
+            # the release (spark.catalog.clearCache() or .unpersist()).
+            survivors.unpersist()
+    out = kept.select(
         "image_id",
         "caption_key",
         (F.col("w").cast("long") * F.col("h")).alias("px"),
     )
+    if pin_survivors:
+        # release handle for the caller (out.pinned_survivors.unpersist())
+        out.pinned_survivors = survivors
+    return out
 
 
 def canonical_text_corpus(

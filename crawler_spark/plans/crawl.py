@@ -243,6 +243,17 @@ class CrawlEngine:
             )
         else:
             self.mode = mode
+        if self.mode == "exact" and not policy.score_nonincreasing_depth:
+            # the exact-mode finalization proof (selection.py module doc)
+            # REQUIRES link score ≤ parent score; a policy that declares
+            # the guarantee broken must not silently get a maybe-wrong
+            # batched order — serial mode is exact for ANY policy
+            raise ValueError(
+                "mode='exact' requires policy.score_nonincreasing_depth: "
+                "a link whose score exceeds its parent's can preempt "
+                "already-finalized pops. Use mode='serial' (exact for any "
+                "policy, one pop per step) or a non-increasing score_expr."
+            )
         self.snapshot_every = snapshot_every
         self.max_steps = max_steps
         self.max_pops = max_pops

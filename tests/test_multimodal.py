@@ -211,6 +211,15 @@ def test_canonical_image_corpus_pipeline(spark):
     )
     assert plan.count("Join") == 1, plan
 
+    # pin_survivors: identical output; the handle releases the cache
+    pinned = canonical_image_corpus(payload, pin_survivors=True)
+    got2 = {r["image_id"]: r for r in pinned.collect()}
+    assert got2.keys() == got.keys()
+    assert got2[2]["px"] == got[2]["px"]
+    assert pinned.pinned_survivors.is_cached
+    pinned.pinned_survivors.unpersist()
+    assert not pinned.pinned_survivors.is_cached
+
 
 def test_image_quality_null_dims(spark):
     """NULL or non-positive w/h must REJECT (bad_dims), not slip through

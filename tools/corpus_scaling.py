@@ -80,8 +80,18 @@ def best(fn):
 
 STEAL0 = _steal(); T0 = time.time()
 
-pipe_sec = best(lambda: canonical_image_corpus(
-    payload, radius=RADIUS, quality_kwargs=QUALITY_KWARGS).count())
+def run_pipe():
+    # pin_survivors: the final keep action reuses the 6-column survivors
+    # cache instead of re-scanning the full payload (bytes included) —
+    # one payload pass + one argmax shuffle fewer on the bandwidth-bound
+    # host (r5); released per rep so timing reps don't stack caches
+    kept = canonical_image_corpus(
+        payload, radius=RADIUS, quality_kwargs=QUALITY_KWARGS,
+        pin_survivors=True)
+    kept.count()
+    kept.pinned_survivors.unpersist()
+
+pipe_sec = best(run_pipe)
 
 # shuffle-free scan+reduce over the SAME cached payload: this host's
 # memory-bandwidth scaling ceiling for cached-scan work in this shape

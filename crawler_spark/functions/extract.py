@@ -23,7 +23,7 @@ from typing import Optional
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType
+from pyspark.sql.types import ArrayType, StringType
 
 from crawler_spark.functions.sniff import sniff_absolute_urls, sniff_window_location
 from crawler_spark.functions.urlnorm import _CANON_SCHEMA, CanonResult, resolve
@@ -156,27 +156,28 @@ def href_urls_udf(positions=DEFAULT_POS, sniff_flags: int = 0):
 
 # strip the two CDATA content models html.parser special-cases
 # (script/style) plus comments — a literal '<a href' inside them is NOT
-# a link for the tokenizer either
-_FAST_STRIP = r"(?is)<(script|style)[^>]*>.*?</\1\s*>|<!--.*?-->"
+# a link for the tokenizer either (possessive [^>]*+ kills backtracking)
+_FAST_STRIP = r"(?is)<(script|style)[^>]*+>.*?</\1\s*+>|<!--.*?-->"
 
-# any of these means the regex scan may disagree with html.parser:
-#   * <base href> rebasing (document-order state)
-#   * leftover <script/<style (unterminated CDATA swallows the rest)
-#   * leftover comment opener (swallows following markup)
-#   * an href that is not double-quoted (unquoted / single-quoted)
-#   * an unterminated double-quoted href value
-#   * a '>' inside a double-quoted attribute value (breaks [^>]* tag spans)
-#   * two 'href' tokens inside one <a> tag (dict(attrs) keeps the LAST,
-#     the lazy regex would take the FIRST)
-_FAST_HAZARD = (
-    r"(?is)<base[\s/>]|<script|<style|<!--"
-    r"|href\s*=\s*[^\"\s>]"
-    r"|href\s*=\s*\"[^\"]*$"
-    r"|=\s*\"[^\"]*>"
-    r"|<a[\s/][^>]*?href[^>]*?href"
-)
+# href must sit at an attribute-name boundary inside an <a> tag: either
+# directly after the post-tag whitespace or after a chunk that ENDS in
+# whitespace/'/' — so data-href="u" (which html.parser treats as a
+# different attribute) can never match.  Value group = 2.
+_FAST_HREF = r"(?is)<a[\s/]([^>]*?[\s/])?href\s*=\s*\"([^\"]*)\""
 
-_FAST_HREF = r"(?is)<a[\s/][^>]*?href\s*=\s*\"([^\"]*)\""
+# The hazard test is structural, not an alternation scan (the old
+# 7-alternative rlike showed catastrophic backtracking — 3x slower than
+# the full tokenizer on 30 KB pages):
+#   fast-eligible  ⇔  no CDATA/comment leftovers in the stripped page
+#                     AND every 'href=' token is consumed by a
+#                     well-formed double-quoted <a href> match.
+# The count equality catches, conservatively: <base href>, unquoted /
+# single-quoted / unterminated hrefs, '>' inside an attribute value
+# (which makes the tag-span regex miss the href), duplicate href attrs,
+# data-href lookalikes, and 'href=' in attribute values/text — every
+# one leaves an unmatched 'href=' token, so the page routes to the full
+# tokenizer.  hreflang= and bare 'href' words don't match the counter,
+# so those common benign shapes stay fast.
 
 
 @F.pandas_udf(ArrayType(_CANON_SCHEMA))
@@ -194,39 +195,108 @@ def _resolve_refs_udf(base: pd.Series, refs: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def _auto_udf(positions, sniff_flags):
+    """ONE Arrow crossing for both routes: per row, resolve the JVM
+    pre-extracted refs (fast rows — ``html`` arrives null) or run the
+    full tokenizer (hazard rows — ``refs`` arrives null).  Two separate
+    UDFs would each be hoisted into their own unconditional
+    ArrowEvalPython node, paying the batch transfer twice."""
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _auto(base: pd.Series, html: pd.Series, refs: pd.Series) -> pd.Series:
+        import html as _html
+
+        out = []
+        for b, h, rr in zip(base, html, refs):
+            if h is not None:
+                out.append(
+                    [c.url for c in extract_links(h, b, positions, sniff_flags) if c.valid]
+                )
+            elif rr is not None:
+                out.append(
+                    [
+                        c.url
+                        for r in rr
+                        for c in (resolve(b, _html.unescape(r)),)
+                        if c.valid
+                    ]
+                )
+            else:
+                out.append(None)
+        return pd.Series(out)
+
+    return _auto
+
+
+def _fast_parts(html: Column):
+    """(is_fast, refs) — shared by eligibility probe and extraction.
+
+    The CDATA/comment strip only runs on pages that contain such a
+    block (one cheap contains-gate saves the DOTALL regex on clean
+    pages); leftovers after stripping (unterminated <script>/<style> or
+    comment — they swallow the rest of the document in html.parser)
+    force the tokenizer, as does any 'href' token not consumed by a
+    well-formed match (see _FAST_HREF comment)."""
+    low0 = F.lower(html)
+    has_cdata = (
+        F.contains(low0, F.lit("<script"))
+        | F.contains(low0, F.lit("<style"))
+        | F.contains(low0, F.lit("<!--"))
+    )
+    stripped = F.when(
+        has_cdata, F.regexp_replace(html, _FAST_STRIP, "")
+    ).otherwise(html)
+    low = F.when(has_cdata, F.lower(stripped)).otherwise(low0)
+    leftover = (
+        F.contains(low, F.lit("<script"))
+        | F.contains(low, F.lit("<style"))
+        | F.contains(low, F.lit("<!--"))
+    )
+    all_refs = F.regexp_extract_all(stripped, F.lit(_FAST_HREF), F.lit(2))
+    # 'href\s*=' counts exactly the tokens html.parser would bind as an
+    # href ATTRIBUTE CANDIDATE somewhere: bare 'href' words (anchors
+    # named no-href-anchor, prose), hreflang=, and valueless <a href>
+    # don't match; data-href= DOES (its own 'href=' suffix) and routes
+    # those pages to the tokenizer, which is the correct conservative
+    # side (html.parser treats data-href as a different attribute)
+    n_href = F.regexp_count(stripped, F.lit(r"(?i)href\s*="))
+    is_fast = html.isNotNull() & ~leftover & (n_href == F.size(all_refs))
+    refs = F.filter(
+        all_refs, lambda x: x != ""  # <a href=""> is dropped by the tokenizer too
+    )
+    return is_fast, refs
+
+
 def href_fast_eligible(html: Column) -> Column:
     """True when the JVM regexp scan is guaranteed to agree with the full
     tokenizer for this page (exposed for tests / plan probes)."""
-    stripped = F.regexp_replace(html, _FAST_STRIP, "")
-    return html.isNotNull() & ~stripped.rlike(_FAST_HAZARD)
+    return _fast_parts(html)[0]
 
 
 def href_urls_auto(base: Column, html: Column, positions=DEFAULT_POS, sniff_flags: int = 0) -> Column:
-    """Drop-in replacement for ``href_urls_udf()(base, html)`` that runs
-    hazard-free pages through the JVM regexp scan (only refs cross to
-    Python, for resolution) and everything else through the full
+    """Equality-preserving regexp-scan variant of ``href_urls_udf``:
+    hazard-free pages are tokenized by the JVM regexp scan (only refs
+    cross to Python, for resolution); everything else takes the full
     tokenizer.  Non-default positions or sniffing always use the full
-    tokenizer (the fast scan only knows ``<a href>``)."""
-    full = href_urls_udf(positions, sniff_flags)
+    tokenizer (the fast scan only knows ``<a href>``).
+
+    NOT the engine default: measured A/B (tools/href_fast_bench.py)
+    reads 0.46-0.94x vs the plain tokenizer across 4-30 KB page shapes —
+    html.parser's C-find-driven scan plus resolution-dominated cost
+    leaves no regexp win; kept as the measurement face + for callers
+    whose corpora are dominated by huge low-link pages."""
     if positions != DEFAULT_POS or sniff_flags:
-        return full(base, html)
-    stripped = F.regexp_replace(html, _FAST_STRIP, "")
-    is_fast = html.isNotNull() & ~stripped.rlike(_FAST_HAZARD)
-    refs = F.filter(
-        F.regexp_extract_all(stripped, F.lit(_FAST_HREF), F.lit(1)),
-        lambda x: x != "",  # <a href=""> is dropped by the tokenizer too
+        return href_urls_udf(positions, sniff_flags)(base, html)
+    is_fast, refs = _fast_parts(html)
+    # ONE gated UDF node: fast rows ship only their refs across Arrow
+    # (html nulled), hazard rows ship the body (refs nulled) — the page
+    # body never crosses for hazard-free pages, and there's a single
+    # batch transfer either way
+    return _auto_udf(positions, sniff_flags)(
+        base,
+        F.when(is_fast, F.lit(None).cast("string")).otherwise(html),
+        F.when(is_fast, refs).otherwise(F.lit(None)),
     )
-    # pandas UDFs are hoisted into unconditional ArrowEvalPython nodes, so
-    # gate each path by nulling ITS input — the page body only crosses the
-    # Arrow boundary for hazard rows
-    fast_resolved = _resolve_refs_udf(
-        base, F.when(is_fast, refs).otherwise(F.lit(None))
-    )
-    slow = full(base, F.when(is_fast, F.lit(None)).otherwise(html))
-    fast = F.transform(
-        F.filter(fast_resolved, lambda c: c["valid"]), lambda c: c["url"]
-    )
-    return F.when(is_fast, fast).otherwise(slow)
 
 
 @dataclass

@@ -1007,15 +1007,18 @@ class CrawlEngine:
             # tokenize the fetched body against its FINAL url (after the
             # redirect hop — links resolve against the response URL,
             # handle.go:66-76); one Arrow batch per fetched frame
-            from crawler_spark.functions.extract import href_urls_auto
+            from crawler_spark.functions.extract import href_urls_udf
 
             eff_html = F.when(
                 F.col("redirect_to").isNotNull(), F.col("t_html")
             ).otherwise(F.col("w_html"))
-            # JVM regexp pre-scan handles hazard-free pages; only hazard
-            # pages pay the Python tokenizer (extract.href_urls_auto)
+            # measured r5 (tools/href_fast_bench.py): a regexp pre-scan
+            # (JVM or python-re) is 0.46-1.2x the tokenizer — html.parser
+            # is C-find-driven and per-link RESOLUTION dominates either
+            # way, so the hot path stays on the plain tokenizer UDF;
+            # extract.href_urls_auto remains as the optional scan face
             eff_links = F.coalesce(
-                href_urls_auto(base_url, eff_html), F.array().cast("array<string>")
+                href_urls_udf()(base_url, eff_html), F.array().cast("array<string>")
             )
         else:
             eff_links = F.when(

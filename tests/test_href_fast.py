@@ -38,6 +38,12 @@ VECTORS = [
     ('<a href="one" href="two">dup</a>', False),
     ('<a href="open', False),  # unterminated quote
     ('<!-- unterminated <a href="no">', False),
+    # data-href is a DIFFERENT attribute — html.parser yields no link;
+    # the count-equality hazard routes it to the tokenizer
+    ('<a data-href="u">x</a>', False),
+    # hreflang contains the substring 'href' but is subtracted from the
+    # count, so this common shape stays on the fast path
+    ('<a hreflang="en" href="x.html">l</a>', True),
     (None, False),
     ("", None),
 ]

@@ -94,11 +94,25 @@ def run_pipe():
 pipe_sec = best(run_pipe)
 
 # shuffle-free scan+reduce over the SAME cached payload: this host's
-# memory-bandwidth scaling ceiling for cached-scan work in this shape
-scan_sec = best(lambda: payload.agg(
-    F.sum(F.col("phash") % 100003 + F.col("w")),
-    F.sum(F.length("caption")),
-    F.count(F.when(F.col("image_id") % 97 == 0, 1))).collect())
+# memory-bandwidth scaling ceiling for cached-scan work in this shape.
+# THREE consecutive full passes (different expressions) per timed rep so
+# the leg is bandwidth-bound, not job-latency-bound — a sub-second
+# single pass reads as a launch-overhead ratio, not a ceiling (r5).
+def scan_all():
+    payload.agg(
+        F.sum(F.col("phash") % 100003 + F.col("w")),
+        F.sum(F.length("caption")),
+        F.count(F.when(F.col("image_id") % 97 == 0, 1))).collect()
+    payload.agg(
+        F.sum(F.col("phash") % 99991 + F.col("h")),
+        F.sum(F.octet_length("bytes")),
+        F.count(F.when(F.col("image_id") % 89 == 0, 1))).collect()
+    payload.agg(
+        F.sum(F.col("image_id") * 31 % 100003),
+        F.sum(F.length("fmt") + F.col("w") + F.col("h")),
+        F.max("phash")).collect()
+
+scan_sec = best(scan_all)
 
 steal = (_steal() - STEAL0) / (100.0 * (time.time() - T0) * cpus)
 print(json.dumps(dict(

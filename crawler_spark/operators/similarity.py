@@ -752,3 +752,102 @@ def hamming_candidates(
     return ann_hamming_topk(
         emb, id_col, vec_col, query_vec, _candidates_only=True, **kwargs
     )
+
+
+def hamming_index_build(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    index_path: str,
+    *,
+    bits: int = 512,
+    seed: int = 42,
+) -> None:
+    """Persist the signature SECONDARY INDEX: (id, sig, vec) parquet —
+    sig is bits/64 packed longs (64 B at 512 bits vs 512 B of float64s),
+    and the unit-normalized vector rides alongside so the rerank stage
+    reads only candidate rows.  At 100 TB the query-time scan touches
+    the sig column ONLY (columnar pruning: ReadSchema shows id+sig until
+    the rerank join), an 8× I/O cut vs scanning vectors; appending a
+    crawl delta is a plain parquet append of its signed rows (planes are
+    deterministic from (bits, seed) — nothing to retrain, the O(delta)
+    property the IVF/LSM indexes share)."""
+    dim = len(emb.select(vec_col).first()[0])
+    planes = srp_sign_planes(dim, bits, seed)
+    vraw = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    (
+        emb.select(
+            F.col(id_col).alias("id"),
+            hamming_sig_udf(planes)(vraw).alias("sig"),
+            unit_norm(F.col(vec_col)).alias("vec"),
+        )
+        .write.mode("overwrite")
+        .parquet(index_path)
+    )
+    # tiny meta table: (bits, seed, dim) so queries re-derive the planes
+    emb.sparkSession.createDataFrame(
+        [(bits, seed, dim)], "bits int, seed int, dim int"
+    ).write.mode("overwrite").parquet(index_path.rstrip("/") + "_meta")
+
+
+def hamming_index_append(
+    delta: DataFrame, id_col: str, vec_col: str, index_path: str
+) -> None:
+    """O(delta) fold: sign the delta with the index's own (bits, seed)
+    planes and append — no base scan, no retrain."""
+    spark = delta.sparkSession
+    meta = spark.read.parquet(index_path.rstrip("/") + "_meta").first()
+    planes = srp_sign_planes(meta["dim"], meta["bits"], meta["seed"])
+    vraw = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    (
+        delta.select(
+            F.col(id_col).alias("id"),
+            hamming_sig_udf(planes)(vraw).alias("sig"),
+            unit_norm(F.col(vec_col)).alias("vec"),
+        )
+        .write.mode("append")
+        .parquet(index_path)
+    )
+
+
+def hamming_query_index(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    k: int = 10,
+    *,
+    frac: float = 0.02,
+    mode: str = "topm",
+    radius: Optional[int] = None,
+    corpus_size: Optional[int] = None,
+) -> DataFrame:
+    """Query a persisted signature index: rank by JVM xor+bit_count over
+    the sig column (vectors untouched until the rerank of the top
+    ``frac``), then exact-cosine rerank.  Same mode semantics as
+    ``ann_hamming_topk``; returns (id, score)."""
+    import math
+
+    meta = spark.read.parquet(index_path.rstrip("/") + "_meta").first()
+    planes = srp_sign_planes(meta["dim"], meta["bits"], meta["seed"])
+    qsig = _pack_query_sig(planes, query_vec)
+    n = math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1.0
+    qn = F.array(*[F.lit(float(x) / n) for x in query_vec])
+    idx = spark.read.parquet(index_path)
+    e = idx.select("id", "vec", hamming_distance(F.col("sig"), qsig).alias("ham"))
+    if mode == "radius":
+        if radius is None:
+            radius = int(
+                idx.select(hamming_distance(F.col("sig"), qsig).alias("ham"))
+                .approxQuantile("ham", [frac], 0.001)[0]
+            )
+        cand = e.where(F.col("ham") <= F.lit(int(radius)))
+    else:
+        if corpus_size is None:
+            corpus_size = idx.count()
+        m = max(5 * k, int(frac * corpus_size))
+        cand = e.orderBy(F.col("ham").asc(), F.col("id").asc()).limit(m)
+    return (
+        cand.select("id", dot(F.col("vec"), qn).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(k)
+    )

@@ -115,3 +115,62 @@ def test_recall_on_planted_neighbors(spark):
     emb = spark.createDataFrame(rows, "id string, embedding array<double>")
     got = [r["id"] for r in ann_hamming_topk(emb, "id", "embedding", [float(x) for x in q], 1).collect()]
     assert got == ["b000"]
+
+
+def test_persisted_index_roundtrip(spark, tmp_path):
+    """build → query equals the inline operator; append folds a delta at
+    O(delta) and queries see base ∪ delta."""
+    from crawler_spark.operators.similarity import (
+        ann_hamming_topk,
+        hamming_index_append,
+        hamming_index_build,
+        hamming_query_index,
+    )
+
+    emb, M = _toy_emb(spark, n=60)
+    base = emb.where(F.col("id") < "v040")
+    delta = emb.where(F.col("id") >= "v040")
+    path = str(tmp_path / "sigidx")
+    hamming_index_build(base, "id", "embedding", path, bits=128)
+    q = [float(x) for x in M[2]]
+    got_base = [
+        (r["id"], round(r["score"], 6))
+        for r in hamming_query_index(spark, path, q, 5, frac=1.0).collect()
+    ]
+    want_base = [
+        (r["id"], round(r["score"], 6))
+        for r in ann_hamming_topk(base, "id", "embedding", q, 5, bits=128, frac=1.0).collect()
+    ]
+    assert got_base == want_base
+    hamming_index_append(delta, "id", "embedding", path)
+    got_all = [
+        (r["id"], round(r["score"], 6))
+        for r in hamming_query_index(spark, path, q, 5, frac=1.0).collect()
+    ]
+    want_all = [
+        (r["id"], round(r["score"], 6))
+        for r in ann_hamming_topk(emb, "id", "embedding", q, 5, bits=128, frac=1.0).collect()
+    ]
+    assert got_all == want_all
+
+
+def test_index_scan_prunes_vector_column(spark, tmp_path):
+    """The ranking scan must read ONLY (id, sig) — the vec column joins
+    in after candidate selection (check ReadSchema in the plan)."""
+    from crawler_spark.operators.similarity import (
+        hamming_distance,
+        hamming_index_build,
+        srp_sign_planes,
+        _pack_query_sig,
+    )
+
+    emb, M = _toy_emb(spark, n=30)
+    path = str(tmp_path / "sigidx2")
+    hamming_index_build(emb, "id", "embedding", path, bits=128)
+    planes = srp_sign_planes(16, 128, 42)
+    qsig = _pack_query_sig(planes, M[0])
+    idx = spark.read.parquet(path)
+    ranked = idx.select("id", hamming_distance(F.col("sig"), qsig).alias("ham"))
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    # the pruned scan lists id and sig but NOT vec
+    assert "vec" not in plan.split("ReadSchema")[1][:200], plan

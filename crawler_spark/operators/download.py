@@ -85,9 +85,16 @@ def gen_download_path(url: Optional[str], dir: str = "") -> Optional[str]:
     if sp.query:
         pth += "?" + _go_query_encode(sp.query)
     cleaned = _go_path_clean(pth)
+    netloc = sp.netloc
+    if netloc.strip(".") == "":
+        # a host of '.'/'..' would traverse out of the sink root when the
+        # final join cleans (the reference's filepath.Join has the same
+        # hazard; its crawl path never sees such hosts because urlx
+        # validation rejects them — ours encodes instead of trusting)
+        netloc = netloc.replace(".", "%2E")
     # filepath.Join(dir, host, FromSlash(cleaned)) — Join drops empty
     # parts and re-cleans, so strip the leading '/' before joining
-    parts = [p for p in (dir, sp.netloc, cleaned.lstrip("/")) if p]
+    parts = [p for p in (dir, netloc, cleaned.lstrip("/")) if p]
     return _go_path_clean("/".join(parts)) if parts else ""
 
 

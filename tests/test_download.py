@@ -97,3 +97,37 @@ def test_download_sink_and_materialize(spark, tmp_path):
         assert f.read() == b"body-b"
     # O_EXCL: re-materializing writes nothing new (download.go:33-43)
     assert materialize_files(with_download_path(df), files_root) == 0
+
+
+# ------------------------------------------------------------------ #
+# property: derived paths can never escape the sink root
+# ------------------------------------------------------------------ #
+import string
+
+from hypothesis import example, given, settings
+from hypothesis import strategies as st
+
+_path_chars = string.ascii_letters + string.digits + "/._-~%!$&'()*+,;=:@ ?#"
+
+
+@given(
+    host=st.text(alphabet=string.ascii_lowercase + string.digits + ".-", min_size=1, max_size=20),
+    path=st.text(alphabet=_path_chars, max_size=60),
+)
+@example(host="..", path="x")
+@example(host=".", path="")
+@example(host="a.test", path="a/../../../x")
+@settings(max_examples=300, deadline=None)
+def test_gen_download_path_never_escapes_root(host, path):
+    """For ANY authority URL, the derived path is relative (no leading
+    /), contains no '..' segment and no '//' — so the materializer's
+    ``root/<path>`` join cannot traverse outside root (Go's path.Clean
+    gives the same guarantee to the reference's Downloader)."""
+    url = f"http://{host}/{path}"
+    out = gen_download_path(url)
+    assert out is not None
+    assert not out.startswith("/")
+    assert "//" not in out
+    assert ".." not in out.split("/")
+    # total: never raises, deterministic
+    assert gen_download_path(url) == out

@@ -76,6 +76,31 @@ def main() -> None:
     ref = phash_index_build(popped_imgs, radius=2)
     idx_rows = sorted(map(tuple, res.dedup_index.collect()))
     ref_rows = sorted(map(tuple, ref.collect()))
+    # r5: Hamming signature index across REAL executor JVMs — the plane
+    # matrix rides inside the Arrow-UDF closure (64 KB at 128 bits);
+    # persisted-index queries must equal the inline operator exactly
+    from crawler_spark.operators.similarity import (
+        ann_hamming_topk, hamming_index_build, hamming_query_index,
+    )
+
+    emb = spark.range(200).select(
+        F.col("id").cast("string").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(16)),
+            lambda j: (F.pmod(F.xxhash64(F.col("id"), j), F.lit(1000)) / 500.0) - 1.0,
+        ).alias("embedding"),
+    )
+    q = list(emb.orderBy("vec_id").first()["embedding"])
+    hamming_index_build(emb, "vec_id", "embedding", workdir + "/sigidx", bits=128)
+    got = [
+        (r["id"], round(r["score"], 6))
+        for r in hamming_query_index(spark, workdir + "/sigidx", q, 5, frac=0.5).collect()
+    ]
+    want = [
+        (r["id"], round(r["score"], 6))
+        for r in ann_hamming_topk(emb, "vec_id", "embedding", q, 5, bits=128, frac=0.5).collect()
+    ]
+
     out = dict(
         pops=res.pops,
         steps=res.steps,
@@ -83,6 +108,7 @@ def main() -> None:
         seen=res.seen.count(),
         dedup_hashes=len(idx_rows),
         dedup_exact=idx_rows == ref_rows,
+        hamming_exact=got == want,
         executors=spark.sparkContext.getConf().get("spark.master"),
     )
     print("SUBMIT_SMOKE_RESULT " + json.dumps(out))
